@@ -1,0 +1,119 @@
+"""Expert-dataset pipeline tests with hand-computed expected outputs
+(reference semantics: environments.py:63-125)."""
+
+import numpy as np
+
+from iltpu.data.dataset import build_expert_transitions, expert_replay
+from iltpu.data.synthetic import random_d4rl_dataset
+
+
+def _tiny_dataset():
+    """Two trajectories: len-3 terminal-ended, len-2 timeout-ended. S=2, A=1."""
+    obs = np.array(
+        [[0, 0], [1, 0], [2, 0], [10, 1], [11, 1]], np.float32
+    )
+    next_obs = obs + np.array([1, 0], np.float32)
+    acts = np.arange(5, dtype=np.float32).reshape(5, 1) / 10
+    terminals = np.array([0, 0, 1, 0, 0], np.float32)
+    timeouts = np.array([0, 0, 0, 0, 1], np.float32)
+    return {
+        "observations": obs,
+        "actions": acts,
+        "next_observations": next_obs,
+        "terminals": terminals,
+        "timeouts": timeouts,
+    }
+
+
+def test_split_and_truncate_no_absorbing():
+    tr, n_traj = build_expert_transitions(
+        _tiny_dataset(), trajectories=0, subsample=1, absorbing=False
+    )
+    assert n_traj == 2
+    assert tr["states"].shape == (5, 2)
+    np.testing.assert_allclose(tr["terminals"], [0, 0, 1, 0, 0])
+    np.testing.assert_allclose(tr["timeouts"], [0, 0, 0, 0, 1])
+    np.testing.assert_allclose(tr["weights"], np.ones(5))
+    np.testing.assert_allclose(tr["rewards"], np.zeros(5))  # rewards zeroed
+
+    tr1, n1 = build_expert_transitions(
+        _tiny_dataset(), trajectories=1, subsample=1, absorbing=False
+    )
+    assert n1 == 1
+    assert tr1["states"].shape == (3, 2)
+
+
+def test_absorbing_wrap_semantics():
+    tr, n_traj = build_expert_transitions(
+        _tiny_dataset(), trajectories=0, subsample=1, absorbing=True
+    )
+    assert n_traj == 2
+    # Terminal-ended trajectory gains one absorbing self-loop row: 3+1 + 2 = 6
+    assert tr["states"].shape == (6, 3)  # +1 absorbing indicator dim
+    absorbing_state = np.array([0, 0, 1], np.float32)
+    # original final transition of traj 0 redirected to absorbing state
+    np.testing.assert_allclose(tr["next_states"][2], absorbing_state)
+    assert tr["terminals"][2] == 0.0  # terminal cleared
+    # appended self-loop
+    np.testing.assert_allclose(tr["states"][3], absorbing_state)
+    np.testing.assert_allclose(tr["next_states"][3], absorbing_state)
+    np.testing.assert_allclose(tr["actions"][3], [0.0])
+    # no terminals anywhere after wrapping (traj 1 ends in timeout)
+    np.testing.assert_allclose(tr["terminals"], np.zeros(6))
+    np.testing.assert_allclose(tr["timeouts"], [0, 0, 0, 0, 0, 1])
+    # timeout trajectory obs got the indicator bit but no rewrite
+    np.testing.assert_allclose(tr["states"][4], [10, 1, 0])
+    np.testing.assert_allclose(tr["next_states"][5], [12, 1, 0])
+
+
+def test_absorbing_weights_are_inverse_subsample():
+    tr, _ = build_expert_transitions(
+        _tiny_dataset(), trajectories=1, subsample=1, absorbing=True
+    )
+    # subsample=1 -> absorbing weights are 1/1 = 1
+    np.testing.assert_allclose(tr["weights"], np.ones(4))
+
+    rng = np.random.default_rng(0)
+    data = random_d4rl_dataset(rng, [10, 10], 3, 2)
+    tr2, _ = build_expert_transitions(
+        data, trajectories=0, subsample=4, absorbing=True, rng=rng
+    )
+    # the two rows per trajectory around the absorbing pair carry weight 1/4
+    w = tr2["weights"]
+    assert (w == 0.25).sum() >= 4  # wrapped transition + self-loop per traj
+    assert set(np.unique(w)) <= {0.25, 1.0}
+
+
+def test_subsample_keeps_absorbing_pair_and_period():
+    rng = np.random.default_rng(42)
+    data = random_d4rl_dataset(rng, [20], 2, 1)
+    tr, _ = build_expert_transitions(
+        data, trajectories=0, subsample=5, absorbing=True, rng=rng
+    )
+    # wrapped length T=21; subsampled indices = {start, start+5, ...} | {19, 20}
+    T = 21
+    n = tr["states"].shape[0]
+    possible = {len(sorted(set(range(s, T, 5)) | {T - 2, T - 1})) for s in range(5)}
+    assert n in possible
+    # absorbing self-loop must be present (last row)
+    np.testing.assert_allclose(tr["states"][-1][-1], 1.0)
+    np.testing.assert_allclose(tr["next_states"][-1][-1], 1.0)
+
+
+def test_subsample_no_absorbing():
+    rng = np.random.default_rng(1)
+    data = random_d4rl_dataset(rng, [12], 2, 1, timeout_flags=[True])
+    tr, _ = build_expert_transitions(
+        data, trajectories=0, subsample=3, absorbing=False, rng=rng
+    )
+    assert tr["states"].shape[0] == 4  # 12 / 3
+
+
+def test_expert_replay_roundtrip():
+    rng = np.random.default_rng(2)
+    data = random_d4rl_dataset(rng, [8, 8, 8], 3, 2)
+    rs = expert_replay(data, trajectories=2, subsample=1, absorbing=True, rng=rng)
+    assert rs.size == 2 * 9  # 8 + absorbing self-loop, per trajectory
+    assert int(rs.num_trajectories) == 2
+    assert bool(rs.full)
+    assert rs.states.shape[1] == 4  # 3 + indicator

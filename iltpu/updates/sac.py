@@ -1,0 +1,177 @@
+"""SAC update: twin soft-Q TD with automatic temperature, absorbing masks.
+
+Semantics parity with reference `sac_update` (training.py:14-54), including
+its exact sequencing (critic step -> actor loss against the *updated*
+critic -> temperature step -> Polyak) and the DAC absorbing-state machinery:
+- next actions zeroed at absorbing states (training.py:23), log-probs taken
+  *before* the rewrite to avoid NaNs (training.py:22);
+- no entropy in the target at absorbing states (training.py:24);
+- actor and temperature losses masked by (1 - absorbing) (training.py:38,45);
+- importance weights multiply the critic MSE and the entropy terms exactly
+  as in the reference (the Q-value term of the actor loss is unweighted,
+  training.py:38).
+
+TPU-native design: the three backward passes fuse into ONE jitted function
+over an explicit `SACState`; donate the state at the call site and the
+whole update is an in-place HBM pass with zero host sync.
+"""
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from iltpu.models.actor import SoftActor
+from iltpu.models.critic import TwinCritic, polyak_update
+from iltpu.models import distributions as D
+from iltpu.utils.pytree import pytree_dataclass
+
+
+@pytree_dataclass
+class SACState:
+    actor_params: dict
+    critic_params: dict
+    target_critic_params: dict
+    log_alpha: jax.Array
+    actor_opt: tuple
+    critic_opt: tuple
+    alpha_opt: tuple
+
+
+class SACLearner:
+    def __init__(
+        self,
+        actor: SoftActor,
+        critic: TwinCritic,
+        *,
+        learning_rate: float = 3e-4,
+        weight_decay: float = 0.0,
+        discount: float = 0.99,
+        entropy_target: float = -3.0,
+        polyak_factor: float = 0.995,
+    ):
+        self.actor = actor
+        self.critic = critic
+        self.discount = discount
+        self.entropy_target = entropy_target
+        self.polyak_factor = polyak_factor
+        # torch AdamW parity for actor/critic, plain Adam for the temperature
+        # (train.py:66).
+        self.actor_optim = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.critic_optim = optax.adamw(learning_rate, weight_decay=weight_decay)
+        self.alpha_optim = optax.adam(learning_rate)
+
+    def init(self, key: jax.Array) -> SACState:
+        ka, kc = jax.random.split(key)
+        actor_params = self.actor.init(ka)
+        critic_params = self.critic.init(kc)
+        log_alpha = jnp.zeros((1,), jnp.float32)
+        return SACState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=jax.tree.map(lambda x: x, critic_params),
+            log_alpha=log_alpha,
+            actor_opt=self.actor_optim.init(actor_params),
+            critic_opt=self.critic_optim.init(critic_params),
+            alpha_opt=self.alpha_optim.init(log_alpha),
+        )
+
+    def update(
+        self, state: SACState, key: jax.Array, transitions: Dict[str, jax.Array]
+    ) -> Tuple[SACState, Dict[str, jax.Array]]:
+        s = transitions["states"]
+        a = transitions["actions"]
+        r = transitions["rewards"]
+        s2 = transitions["next_states"]
+        term = transitions["terminals"]
+        w = transitions["weights"]
+        absorbing = transitions["absorbing"]
+        alpha = jnp.exp(state.log_alpha)[0]
+
+        # --- TD target (no-grad region; training.py:19-25) ------------------
+        k_next, k_new = jax.random.split(key)
+        next_mean, next_log_std = self.actor.dist(state.actor_params, s2)
+        z2 = D.sample_pretanh(k_next, next_mean, next_log_std)
+        next_action = jnp.tanh(z2)
+        next_log_prob = D.log_prob_from_pretanh(next_mean, next_log_std, z2)
+        next_action = (1.0 - absorbing[:, None]) * next_action
+        tq1, tq2 = self.critic.apply(state.target_critic_params, s2, next_action)
+        target_v = jnp.minimum(tq1, tq2) - (1.0 - absorbing) * alpha * next_log_prob
+        td_target = jax.lax.stop_gradient(r + (1.0 - term) * self.discount * target_v)
+
+        # --- Critic step (training.py:26-31) --------------------------------
+        def critic_loss_fn(critic_params):
+            q1, q2 = self.critic.apply(critic_params, s, a)
+            loss = jnp.mean(w * (q1 - td_target) ** 2) + jnp.mean(
+                w * (q2 - td_target) ** 2
+            )
+            return loss, jnp.minimum(q1, q2)
+
+        (critic_loss, min_q_batch), critic_grads = jax.value_and_grad(
+            critic_loss_fn, has_aux=True
+        )(state.critic_params)
+        critic_updates, critic_opt = self.critic_optim.update(
+            critic_grads, state.critic_opt, state.critic_params
+        )
+        critic_params = optax.apply_updates(state.critic_params, critic_updates)
+
+        # --- Actor step against the updated critic (training.py:33-42) ------
+        def actor_loss_fn(actor_params):
+            mean, log_std = self.actor.dist(actor_params, s)
+            z = D.sample_pretanh(k_new, mean, log_std)
+            new_action = jnp.tanh(z)
+            log_prob = D.log_prob_from_pretanh(mean, log_std, z)
+            q1, q2 = self.critic.apply(critic_params, s, new_action)
+            new_values = jnp.minimum(q1, q2)
+            loss = jnp.mean(
+                w * (1.0 - absorbing) * jax.lax.stop_gradient(alpha) * log_prob
+                - new_values
+            )
+            return loss, log_prob
+
+        (actor_loss, new_log_probs), actor_grads = jax.value_and_grad(
+            actor_loss_fn, has_aux=True
+        )(state.actor_params)
+        actor_updates, actor_opt = self.actor_optim.update(
+            actor_grads, state.actor_opt, state.actor_params
+        )
+        actor_params = optax.apply_updates(state.actor_params, actor_updates)
+
+        # --- Temperature step (training.py:44-49) ---------------------------
+        lp_detached = jax.lax.stop_gradient(new_log_probs)
+
+        def alpha_loss_fn(log_alpha):
+            a_ = jnp.exp(log_alpha)[0]
+            return -jnp.mean(
+                w * (1.0 - absorbing) * a_ * (lp_detached + self.entropy_target)
+            )
+
+        alpha_grads = jax.grad(alpha_loss_fn)(state.log_alpha)
+        alpha_updates, alpha_opt = self.alpha_optim.update(
+            alpha_grads, state.alpha_opt, state.log_alpha
+        )
+        log_alpha = optax.apply_updates(state.log_alpha, alpha_updates)
+
+        # --- Polyak target update (training.py:52) --------------------------
+        target_critic_params = polyak_update(
+            critic_params, state.target_critic_params, self.polyak_factor
+        )
+
+        new_state = SACState(
+            actor_params=actor_params,
+            critic_params=critic_params,
+            target_critic_params=target_critic_params,
+            log_alpha=log_alpha,
+            actor_opt=actor_opt,
+            critic_opt=critic_opt,
+            alpha_opt=alpha_opt,
+        )
+        aux = {
+            "log_probs": lp_detached,
+            "Q_values": jax.lax.stop_gradient(min_q_batch),
+            "critic_loss": critic_loss,
+            "actor_loss": actor_loss,
+            "alpha": alpha,
+        }
+        return new_state, aux

@@ -1,0 +1,205 @@
+"""Update-rule tests: SAC (absorbing masks, TD target, Polyak), BC,
+RED target-estimation, and the adversarial discriminator update in all
+three loss modes with gradient penalty and entropy bonus."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from iltpu.models import SoftActor, TwinCritic
+from iltpu.rewards import GAILDiscriminator, REDDiscriminator
+from iltpu.updates import (
+    AdversarialConfig,
+    SACLearner,
+    adversarial_imitation_update,
+    behavioural_cloning_update,
+    target_estimation_update,
+)
+
+S, A, B = 4, 2, 16
+
+
+def _transitions(key, n=B, absorbing=0.0):
+    ks = jax.random.split(key, 3)
+    s = jax.random.normal(ks[0], (n, S))
+    return {
+        "step": jnp.zeros((n,), jnp.int32),
+        "states": s,
+        "actions": jnp.tanh(jax.random.normal(ks[1], (n, A))),
+        "rewards": jax.random.normal(ks[2], (n,)),
+        "next_states": s + 0.1,
+        "terminals": jnp.zeros((n,)),
+        "timeouts": jnp.zeros((n,)),
+        "weights": jnp.ones((n,)),
+        "absorbing": jnp.full((n,), absorbing),
+    }
+
+
+def _learner():
+    actor = SoftActor(S, A, hidden_size=32, depth=1)
+    critic = TwinCritic(S, A, hidden_size=32, depth=1)
+    return SACLearner(actor, critic, learning_rate=3e-3, entropy_target=-float(A))
+
+
+def test_sac_update_runs_and_improves_critic():
+    learner = _learner()
+    state = learner.init(jax.random.key(0))
+    batch = _transitions(jax.random.key(1))
+    update = jax.jit(learner.update)
+    _, aux0 = update(state, jax.random.key(2), batch)
+    for i in range(50):
+        state, aux = update(state, jax.random.key(3 + i), batch)
+    assert float(aux["critic_loss"]) < float(aux0["critic_loss"])
+    for v in jax.tree.leaves(aux):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_sac_polyak_moves_target_toward_online():
+    learner = _learner()
+    state = learner.init(jax.random.key(0))
+    batch = _transitions(jax.random.key(1))
+    new_state, _ = learner.update(state, jax.random.key(2), batch)
+
+    def dist(p, q):
+        return sum(
+            float(jnp.abs(a - b).sum())
+            for a, b in zip(jax.tree.leaves(p), jax.tree.leaves(q))
+        )
+
+    # target moved, but only by (1-rho) of the way
+    d_target = dist(new_state.target_critic_params, state.target_critic_params)
+    d_online = dist(new_state.critic_params, state.critic_params)
+    assert 0 < d_target < d_online
+
+
+def test_sac_absorbing_masks_entropy_terms():
+    """With absorbing=1 everywhere: next actions zeroed in the target, no
+    entropy in target values, and the temperature receives zero gradient
+    (training.py:23-24,45)."""
+    learner = _learner()
+    state = learner.init(jax.random.key(0))
+    batch = _transitions(jax.random.key(1), absorbing=1.0)
+    new_state, _ = learner.update(state, jax.random.key(2), batch)
+    # temperature loss fully masked -> log_alpha unchanged
+    assert float(new_state.log_alpha[0]) == pytest.approx(
+        float(state.log_alpha[0]), abs=1e-7
+    )
+
+
+def test_bc_update_increases_likelihood():
+    actor = SoftActor(S, A, hidden_size=32, depth=1)
+    params = actor.init(jax.random.key(0))
+    optim = optax.adamw(1e-2)
+    opt_state = optim.init(params)
+    batch = _transitions(jax.random.key(1))
+    losses = []
+    for _ in range(30):
+        params, opt_state, loss = jax.jit(
+            lambda p, o, t: behavioural_cloning_update(
+                actor, p, o, optim, t
+            )
+        )(params, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+
+
+def test_red_pretraining_reduces_mse():
+    disc = REDDiscriminator(S, A, hidden_size=16)
+    red = disc.init(jax.random.key(0))
+    optim = optax.adamw(1e-2)
+    opt_state = optim.init(red.predictor)
+    batch = _transitions(jax.random.key(1))
+    losses = []
+    for _ in range(40):
+        red, opt_state, loss = jax.jit(
+            lambda r, o, t: target_estimation_update(disc, r, o, optim, t)
+        )(red, opt_state, batch)
+        losses.append(float(loss))
+    assert losses[-1] < 0.5 * losses[0]
+
+
+@pytest.mark.parametrize("loss_function", ["BCE", "PUGAIL", "Mixup"])
+def test_adversarial_update_separates_expert_policy(loss_function):
+    actor = SoftActor(S, A, hidden_size=32, depth=1)
+    actor_params = actor.init(jax.random.key(0))
+    disc = GAILDiscriminator(S, A, hidden_size=32)
+    params = disc.init(jax.random.key(1))
+    optim = optax.adam(1e-2)
+    opt_state = optim.init(params)
+    cfg = AdversarialConfig(
+        loss_function=loss_function, grad_penalty=0.1, entropy_bonus=0.01,
+        nonnegative_margin=1.0,
+    )
+    expert = _transitions(jax.random.key(2))
+    expert["states"] = expert["states"] + 3.0  # separable clusters
+    policy = _transitions(jax.random.key(3))
+    step = jax.jit(
+        lambda p, o, k: adversarial_imitation_update(
+            disc, actor, actor_params, p, o, optim, policy, expert, k, cfg
+        ),
+    )
+    for i in range(60):
+        params, opt_state, aux = step(params, opt_state, jax.random.key(10 + i))
+    d_e = np.asarray(disc.forward(params, expert["states"], expert["actions"]))
+    d_p = np.asarray(disc.forward(params, policy["states"], policy["actions"]))
+    if loss_function != "PUGAIL":
+        # PUGAIL's positive-unlabelled objective (training.py:100-102) does
+        # not directly push D_policy down, so only check separation for the
+        # discriminative losses.
+        assert d_e.mean() > d_p.mean()
+    for v in jax.tree.leaves(aux):
+        assert np.isfinite(np.asarray(v)).all()
+
+
+def test_adversarial_bce_matches_manual_loss():
+    """Weighted BCE main loss cross-checked by hand on the initial params."""
+    actor = SoftActor(S, A, hidden_size=16, depth=1)
+    actor_params = actor.init(jax.random.key(0))
+    disc = GAILDiscriminator(S, A, hidden_size=16)
+    params = disc.init(jax.random.key(1))
+    optim = optax.sgd(0.0)  # zero step: inspect aux on the given params
+    opt_state = optim.init(params)
+    cfg = AdversarialConfig(loss_function="BCE", grad_penalty=0.0)
+    expert = _transitions(jax.random.key(2))
+    expert["weights"] = jnp.linspace(0.5, 1.5, B)
+    policy = _transitions(jax.random.key(3))
+    _, _, aux = adversarial_imitation_update(
+        disc, actor, actor_params, params, opt_state, optim, policy, expert,
+        jax.random.key(4), cfg,
+    )
+    sigmoid = lambda x: 1 / (1 + np.exp(-x))
+    d_e = np.asarray(disc.forward(params, expert["states"], expert["actions"]))
+    d_p = np.asarray(disc.forward(params, policy["states"], policy["actions"]))
+    exp_loss = np.mean(np.asarray(expert["weights"]) * -np.log(sigmoid(d_e)))
+    pol_loss = np.mean(-np.log(1 - sigmoid(d_p)))
+    assert float(aux["expert_loss"]) == pytest.approx(exp_loss, rel=1e-4)
+    assert float(aux["policy_loss"]) == pytest.approx(pol_loss, rel=1e-4)
+
+
+def test_adversarial_spectral_norm_and_shaping_paths():
+    actor = SoftActor(S, A, hidden_size=16, depth=1)
+    actor_params = actor.init(jax.random.key(0))
+    disc = GAILDiscriminator(
+        S, A, hidden_size=16, spectral_norm=True, reward_shaping=True,
+        subtract_log_policy=True,
+    )
+    params = disc.init(jax.random.key(1))
+    optim = optax.adam(1e-3)
+    opt_state = optim.init(params)
+    cfg = AdversarialConfig(loss_function="BCE", grad_penalty=1.0)
+    expert = _transitions(jax.random.key(2))
+    policy = _transitions(jax.random.key(3))
+    params2, _, aux = jax.jit(
+        lambda p, o, k: adversarial_imitation_update(
+            disc, actor, actor_params, p, o, optim, policy, expert, k, cfg
+        )
+    )(params, opt_state, jax.random.key(4))
+    assert np.isfinite(float(aux["discriminator_loss"]))
+    assert np.isfinite(float(aux["grad_penalty"]))
+    # power iteration updated the u/v vectors (check the shaping MLP's
+    # hidden layer; the 1-output g head's u is the fixed point +-1)
+    u0 = np.asarray(params["h"]["layers"][0]["u"])
+    u1 = np.asarray(params2["h"]["layers"][0]["u"])
+    assert not np.allclose(u0, u1)

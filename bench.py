@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark: GAIL-hopper training throughput (env-steps/s).
+
+Runs the real pipeline — host MuJoCo hopper env, device-resident replay,
+fully-jitted GAIL discriminator + SAC update at the reference's 1:1
+step:update ratio — and reports steady-state env-steps/s (compile excluded
+via a warmup phase sharing the in-process jit cache).
+
+`vs_baseline` compares against the reference's measured hot-loop rate on
+this host (bench_baseline.json; the reference publishes no throughput
+numbers — BASELINE.md). Prints ONE JSON line.
+
+Env knobs: BENCH_STEPS (default 1500), BENCH_WARMUP (300), BENCH_NUM_ENVS
+(1 = reference-parity serial acting), BENCH_PLATFORM (pin jax backend).
+"""
+
+import json
+import os
+import time
+
+
+def main():
+    if os.environ.get("BENCH_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    from iltpu.config import load_config
+    from iltpu.trainer import Trainer
+
+    steps = int(os.environ.get("BENCH_STEPS", 1500))
+    warmup = int(os.environ.get("BENCH_WARMUP", 300))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1))
+
+    def make(n_steps, seed):
+        cfg = load_config(
+            [
+                "algorithm=GAIL",
+                "env=hopper",
+                f"seed={seed}",
+                f"num_envs={num_envs}",
+                f"steps={n_steps}",
+                "training.start=100",
+                f"evaluation.interval={n_steps + 1}",  # no eval inside the bench
+                "evaluation.episodes=1",
+                "logging.interval=0",
+                "memory.size=100000",
+                "imitation.trajectories=5",
+                "check_time_usage=true",
+                "expert_data.source=synthetic",
+            ]
+        )
+        return Trainer(cfg, out_dir="/tmp/iltpu_bench", file_prefix=f"s{seed}_")
+
+    # Warmup run populates the in-process jit cache (identical shapes).
+    make(warmup, seed=0).run()
+
+    trainer = make(steps, seed=1)
+    t0 = time.time()
+    trainer.run()
+    elapsed = trainer.metrics["training_time"]  # excludes final eval
+    del t0
+
+    value = steps / elapsed
+    baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
+    with open(baseline_path) as f:
+        baseline = json.load(f)["reference_env_steps_per_s"]
+
+    print(
+        json.dumps(
+            {
+                "metric": "GAIL-hopper env-steps/s (1:1 step:update)",
+                "value": round(value, 2),
+                "unit": "env-steps/s",
+                "vs_baseline": round(value / baseline, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

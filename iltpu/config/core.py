@@ -1,0 +1,173 @@
+"""YAML config composition engine (Hydra-like semantics, zero deps).
+
+Mirrors the reference's Hydra tree behaviour (conf/train_config.yaml:1-4,
+SURVEY.md C21) without Hydra: composition order is
+
+    base train.yaml
+    -> algorithm overlay (algorithms.yaml[<ALG>])
+    -> optional tuned overlay (tuned.yaml[<ALG>][<trajectories>])
+    -> dotted CLI overrides ("a.b.c=value", YAML-parsed scalars)
+
+plus the reference's startup invariants (train.py:28-48) in
+`validate_config`. Configs are plain nested dicts wrapped in `DotDict` for
+attribute access; `to_flat` serialises for logging/sweeps.
+"""
+
+import copy
+import os
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+CONF_DIR = os.path.join(os.path.dirname(__file__), "conf")
+
+ALGORITHMS = ["AdRIL", "BC", "DRIL", "GAIL", "GMMIL", "PWIL", "RED", "SAC"]
+
+
+class DotDict(dict):
+    """Nested dict with attribute access; mutations write through."""
+
+    def __getattr__(self, name: str) -> Any:
+        try:
+            v = self[name]
+        except KeyError as e:
+            raise AttributeError(name) from e
+        return DotDict(v) if isinstance(v, dict) and not isinstance(v, DotDict) else v
+
+    def __setattr__(self, name: str, value: Any):
+        self[name] = value
+
+
+def deep_merge(base: Dict, overlay: Dict) -> Dict:
+    """Recursive dict merge; overlay wins, nested dicts merge key-wise."""
+    out = copy.deepcopy(base)
+    for k, v in overlay.items():
+        if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+            out[k] = deep_merge(out[k], v)
+        else:
+            out[k] = copy.deepcopy(v)
+    return out
+
+
+def set_by_path(cfg: Dict, path: str, value: Any):
+    keys = path.split(".")
+    node = cfg
+    for k in keys[:-1]:
+        if k not in node or not isinstance(node[k], dict):
+            node[k] = {}
+        node = node[k]
+    node[keys[-1]] = value
+
+
+def get_by_path(cfg: Dict, path: str, default: Any = None) -> Any:
+    node = cfg
+    for k in path.split("."):
+        if not isinstance(node, dict) or k not in node:
+            return default
+        node = node[k]
+    return node
+
+
+def parse_overrides(overrides: List[str]) -> Dict[str, Any]:
+    """["a.b=1", "c=relu"] -> {"a.b": 1, "c": "relu"} with YAML scalar
+    parsing (so 1e-4, true, .inf, null all become proper types)."""
+    out = {}
+    for item in overrides:
+        assert "=" in item, f"override '{item}' is not of the form key=value"
+        key, _, raw = item.partition("=")
+        value = yaml.safe_load(raw) if raw != "" else None
+        if isinstance(value, str):
+            # YAML 1.1 misses bare scientific floats like "1e-4"
+            try:
+                value = float(value)
+            except ValueError:
+                pass
+        out[key.strip()] = value
+    return out
+
+
+def _load_yaml(name: str, conf_dir: str) -> Dict:
+    with open(os.path.join(conf_dir, name)) as f:
+        return yaml.safe_load(f) or {}
+
+
+def load_config(
+    overrides: Optional[List[str]] = None,
+    *,
+    conf_dir: str = CONF_DIR,
+    use_tuned: bool = False,
+) -> DotDict:
+    """Compose the training config. `overrides` are dotted key=value strings;
+    `algorithm=X` must appear there (or default SAC applies) and selects the
+    overlay, matching `python train.py algorithm=X` (README.md:66-98).
+    `use_tuned` layers the published optimised hyperparameters for
+    (algorithm, imitation.trajectories) when available."""
+    overrides = parse_overrides(list(overrides or []))
+    cfg = _load_yaml("train.yaml", conf_dir)
+
+    algorithm = overrides.get("algorithm", cfg.get("algorithm", "SAC"))
+    assert algorithm in ALGORITHMS, f"unknown algorithm {algorithm}"
+    alg_overlays = _load_yaml("algorithms.yaml", conf_dir)
+    cfg = deep_merge(cfg, alg_overlays.get(algorithm) or {})
+    cfg["algorithm"] = algorithm
+
+    if use_tuned:
+        trajectories = overrides.get(
+            "imitation.trajectories", get_by_path(cfg, "imitation.trajectories")
+        )
+        tuned = _load_yaml("tuned.yaml", conf_dir)
+        overlay = (tuned.get(algorithm) or {}).get(trajectories)
+        if overlay:
+            cfg = deep_merge(cfg, overlay)
+
+    for key, value in overrides.items():
+        set_by_path(cfg, key, value)
+    return DotDict(cfg)
+
+
+def validate_config(cfg: Dict) -> DotDict:
+    """Startup invariants, mirroring train.py:28-48 (including the runtime
+    memory-size clamp at train.py:30)."""
+    cfg = DotDict(copy.deepcopy(cfg))
+    assert cfg["algorithm"] in ALGORITHMS
+    set_by_path(cfg, "memory.size", min(cfg["steps"], get_by_path(cfg, "memory.size")))
+    assert get_by_path(cfg, "bc_pretraining.iterations") >= 0
+    assert get_by_path(cfg, "imitation.trajectories") >= 0
+    assert get_by_path(cfg, "imitation.subsample") >= 1
+    assert get_by_path(cfg, "imitation.mix_expert_data") in (
+        "none",
+        "mixed_batch",
+        "prefill_memory",
+    )
+    alg = cfg["algorithm"]
+    g = lambda p: get_by_path(cfg, p)
+    if alg == "AdRIL":
+        assert g("imitation.mix_expert_data") == "mixed_batch"
+        assert g("imitation.update_freq") >= 0
+    elif alg == "DRIL":
+        assert 0 <= g("imitation.quantile_cutoff") <= 1
+    elif alg == "GAIL":
+        assert g("imitation.mix_expert_data") != "prefill_memory"
+        assert g("imitation.discriminator.reward_function") in ("AIRL", "FAIRL", "GAIL")
+        assert g("imitation.grad_penalty") >= 0
+        assert g("imitation.entropy_bonus") >= 0
+        assert g("imitation.loss_function") in ("BCE", "Mixup", "PUGAIL")
+        if g("imitation.loss_function") == "Mixup":
+            assert g("imitation.mixup_alpha") > 0
+        if g("imitation.loss_function") == "PUGAIL":
+            assert 0 <= g("imitation.pos_class_prior") <= 1
+            assert g("imitation.nonnegative_margin") >= 0
+    assert g("logging.interval") >= 0
+    assert g("num_envs") >= 1
+    return cfg
+
+
+def to_flat(cfg: Dict, prefix: str = "") -> Dict[str, Any]:
+    out = {}
+    for k, v in cfg.items():
+        key = f"{prefix}.{k}" if prefix else k
+        if isinstance(v, dict):
+            out.update(to_flat(v, key))
+        else:
+            out[key] = v
+    return out

@@ -27,6 +27,10 @@ class Pendulum:
     action_low = -2.0
     action_high = 2.0
     max_episode_steps = 200
+    # Score-normalisation anchors (random policy / near-optimal policy),
+    # playing the role of the D4RL ref scores for the MuJoCo envs.
+    ref_min_score = -1200.0
+    ref_max_score = -130.0
 
     g, m, l, dt = 10.0, 1.0, 1.0, 0.05
     max_speed = 8.0
@@ -70,6 +74,8 @@ class PointMass2D:
     action_low = -1.0
     action_high = 1.0
     max_episode_steps = 100
+    ref_min_score = -80.0
+    ref_max_score = 5.0
 
     dt, damping, goal_radius = 0.1, 0.95, 0.1
 

@@ -1,0 +1,829 @@
+"""Training orchestrator: the TPU-native counterpart of the reference's
+`train()` monolith (train.py:26-243).
+
+Lifecycle parity (config validation -> seeding -> env + expert data -> agent
+-> per-algorithm reward module -> BC pretraining (+ BC early exit) ->
+discriminator pretraining -> interact/update loop -> periodic eval/plots ->
+save) with a TPU-first execution model:
+
+- the entire update step — replay sampling, discriminator training, reward
+  prediction, optional BC auxiliary loss, SAC update — is ONE jitted
+  function over an explicit state pytree (the reference runs ~6 separate
+  torch graphs per step, train.py:171-203);
+- replay and expert data live in HBM (`iltpu.data.replay`);
+- acting is batched over `num_envs` vectorised envs, one device call per
+  step; with `env_backend: jax` the env itself is a pure function;
+- algorithm dispatch happens once at build time (closures), not per step —
+  the reference re-branches on `cfg.algorithm` strings inside its hot loop
+  (train.py:175-198);
+- checkpoint/resume of the FULL training state (params, optimiser moments,
+  replay, PRNG) — a capability gap in the reference, which only saves final
+  weights (train.py:232-239).
+"""
+
+import os
+import pickle
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from iltpu.config import DotDict, validate_config
+from iltpu.data import (
+    build_expert_transitions,
+    load_d4rl_hdf5,
+    replay_append_batch,
+    replay_from_transitions,
+    replay_init,
+    replay_sample,
+    replay_transfer,
+)
+from iltpu.data.synthetic import random_d4rl_dataset
+from iltpu.envs import (
+    JAX_ENVS,
+    SPECS,
+    HostVecEnv,
+    VecEnv,
+    evaluate_policy,
+)
+from iltpu.models import SoftActor, TwinCritic
+from iltpu.parallel import constrain_batch, make_mesh
+from iltpu.rewards import (
+    GAILDiscriminator,
+    GMMILDiscriminator,
+    PWILDiscriminator,
+    REDDiscriminator,
+    init_relabeller,
+    mix_expert_agent_transitions,
+    resample_and_relabel,
+)
+from iltpu.rewards.gail import make_gail_input
+from iltpu.updates import (
+    AdversarialConfig,
+    SACLearner,
+    adversarial_imitation_update,
+    behavioural_cloning_update,
+    target_estimation_update,
+)
+from iltpu.utils.checkpoint import load_checkpoint, save_checkpoint
+from iltpu.utils.plotting import lineplot
+
+TRAINABLE_DISCRIMINATORS = ("DRIL", "GAIL", "RED")
+
+
+class _JaxEnvAdapter:
+    """Drives a pure-JAX VecEnv with the same host-facing interface as
+    HostVecEnv (reset/step/obs_size/...); the step itself is jitted."""
+
+    def __init__(self, env_name: str, num_envs: int, *, absorbing: bool, seed: int):
+        assert env_name in JAX_ENVS, f"unknown jax env {env_name}"
+        self.env = JAX_ENVS[env_name]()
+        self.venv = VecEnv(self.env, num_envs, absorbing=absorbing)
+        self.num_envs = num_envs
+        self._seed = seed
+        self._step = jax.jit(self.venv.step)
+        self._state = None
+
+    obs_size = property(lambda self: self.venv.obs_size)
+    action_size = property(lambda self: self.venv.action_size)
+    max_episode_steps = property(lambda self: self.venv.max_episode_steps)
+    ref_min_score = property(lambda self: getattr(self.env, "ref_min_score", 0.0))
+    ref_max_score = property(lambda self: getattr(self.env, "ref_max_score", 1.0))
+
+    def reset(self, seed: Optional[int] = None) -> np.ndarray:
+        self._state = self.venv.reset(jax.random.key(seed or self._seed))
+        return np.asarray(self._state.obs)
+
+    def step(self, actions):
+        obs_before = self._state.obs
+        self._state, out = self._step(self._state, jnp.asarray(actions))
+        return (
+            np.asarray(out.next_obs),
+            np.asarray(out.reward),
+            np.asarray(out.terminal),
+            np.asarray(out.timeout),
+            np.asarray(self._state.obs),
+        )
+
+    def close(self):
+        pass
+
+
+def _make_env(cfg: DotDict, num_envs: int, seed: int):
+    if cfg.env_backend == "jax":
+        return _JaxEnvAdapter(
+            cfg.env, num_envs, absorbing=cfg.imitation.absorbing, seed=seed
+        )
+    return HostVecEnv(
+        cfg.env, num_envs, absorbing=cfg.imitation.absorbing, seed=seed
+    )
+
+
+def _load_expert_dataset(cfg: DotDict, env) -> Dict[str, np.ndarray]:
+    src = cfg.expert_data.source
+    if src == "hdf5":
+        return load_d4rl_hdf5(cfg.expert_data.path)
+    if src == "npz" or (cfg.expert_data.path or "").endswith(".npz"):
+        with np.load(cfg.expert_data.path) as data:
+            return {k: data[k] for k in data.files}
+    assert src == "synthetic", f"unknown expert_data.source {src}"
+    # Self-sufficient fallback (no D4RL downloads in this environment):
+    # random-walk trajectories with the env's dimensions.
+    raw_obs = env.obs_size - (1 if cfg.imitation.absorbing else 0)
+    n_traj = max(cfg.imitation.trajectories, 10)
+    length = min(env.max_episode_steps, 100)
+    return random_d4rl_dataset(
+        np.random.default_rng(cfg.seed),
+        [length] * n_traj,
+        raw_obs,
+        env.action_size,
+    )
+
+
+class Trainer:
+    def __init__(self, cfg: Dict, out_dir: str = ".", file_prefix: str = ""):
+        self.cfg = cfg = validate_config(cfg)
+        self.out_dir = out_dir
+        self.prefix = file_prefix
+        os.makedirs(out_dir, exist_ok=True)
+
+        np.random.seed(cfg.seed)
+        self.key = jax.random.key(cfg.seed)
+        alg = cfg.algorithm
+        self.alg = alg
+
+        # --- Envs (train + eval share dynamics; eval is built per call) ----
+        self.env = _make_env(cfg, cfg.num_envs, cfg.seed)
+        S, A = self.env.obs_size, self.env.action_size
+        self.state_size, self.action_size = S, A
+        if cfg.env_backend == "jax":
+            self.norm_min = self.env.ref_min_score
+            self.norm_max = self.env.ref_max_score
+        else:
+            spec = SPECS[cfg.env]
+            self.norm_min, self.norm_max = spec.ref_min_score, spec.ref_max_score
+
+        # --- Expert data ---------------------------------------------------
+        raw = _load_expert_dataset(cfg, self.env)
+        transitions, n_traj = build_expert_transitions(
+            raw,
+            trajectories=cfg.imitation.trajectories,
+            subsample=cfg.imitation.subsample,
+            absorbing=cfg.imitation.absorbing,
+            rng=np.random.default_rng(cfg.seed),
+        )
+        self.expert = replay_from_transitions(
+            transitions, n_traj, cfg.imitation.absorbing
+        )
+
+        # --- Agent ---------------------------------------------------------
+        rcfg = cfg.reinforcement
+        self.actor = SoftActor(
+            S, A, rcfg.actor.hidden_size, rcfg.actor.depth, rcfg.actor.activation
+        )
+        self.critic = TwinCritic(
+            S,
+            A,
+            hidden_size=rcfg.critic.hidden_size,
+            depth=rcfg.critic.depth,
+            activation=rcfg.critic.activation,
+        )
+        self.learner = SACLearner(
+            self.actor,
+            self.critic,
+            learning_rate=cfg.training.learning_rate,
+            weight_decay=cfg.training.weight_decay,
+            discount=rcfg.discount,
+            entropy_target=rcfg.target_temperature * A,  # train.py:65 heuristic
+            polyak_factor=rcfg.polyak_factor,
+        )
+        self.key, k = jax.random.split(self.key)
+        sac = self.learner.init(k)
+
+        # --- State pytree + per-algorithm reward modules -------------------
+        state = {
+            "sac": sac,
+            "replay": replay_init(cfg.memory.size, S, A, cfg.imitation.absorbing),
+            "expert": self.expert,
+        }
+        icfg = cfg.imitation
+        self.disc = None
+        if alg == "GAIL":
+            d = icfg.discriminator
+            self.disc = GAILDiscriminator(
+                S,
+                A,
+                state_only=icfg.state_only,
+                reward_shaping=d.reward_shaping,
+                subtract_log_policy=d.subtract_log_policy,
+                reward_function=d.reward_function,
+                hidden_size=d.hidden_size,
+                depth=d.depth,
+                activation=d.activation,
+                spectral_norm=icfg.spectral_norm,
+                discount=rcfg.discount,
+            )
+            self.key, k = jax.random.split(self.key)
+            self.disc_optim = optax.adamw(
+                icfg.learning_rate, weight_decay=icfg.weight_decay
+            )
+            state["disc"] = self.disc.init(k)
+            state["disc_opt"] = self.disc_optim.init(state["disc"])
+            self.adv_cfg = AdversarialConfig(
+                loss_function=icfg.loss_function,
+                grad_penalty=icfg.grad_penalty,
+                mixup_alpha=icfg.mixup_alpha,
+                entropy_bonus=icfg.entropy_bonus,
+                pos_class_prior=icfg.pos_class_prior,
+                nonnegative_margin=icfg.nonnegative_margin,
+            )
+        elif alg == "DRIL":
+            d = icfg.discriminator
+            self.disc = SoftActor(
+                S,
+                A,
+                d.hidden_size,
+                d.depth,
+                d.activation,
+                input_dropout=d.input_dropout,
+                dropout=d.dropout,
+            )
+            self.key, k = jax.random.split(self.key)
+            self.disc_optim = optax.adamw(
+                icfg.learning_rate, weight_decay=icfg.weight_decay
+            )
+            state["disc"] = self.disc.init(k)
+            state["disc_opt"] = self.disc_optim.init(state["disc"])
+            state["dril_threshold"] = jnp.zeros(())
+        elif alg == "RED":
+            d = icfg.discriminator
+            self.disc = REDDiscriminator(
+                S,
+                A,
+                state_only=icfg.state_only,
+                hidden_size=d.hidden_size,
+                depth=d.depth,
+                activation=d.activation,
+                input_dropout=d.input_dropout,
+                dropout=d.dropout,
+                reward_bandwidth_scale=icfg.reward_bandwidth_scale,
+            )
+            self.key, k = jax.random.split(self.key)
+            self.disc_optim = optax.adamw(
+                icfg.learning_rate, weight_decay=icfg.weight_decay
+            )
+            state["disc"] = self.disc.init(k)
+            state["disc_opt"] = self.disc_optim.init(state["disc"].predictor)
+        elif alg == "GMMIL":
+            self.disc = GMMILDiscriminator(S, A, state_only=icfg.state_only)
+            state["disc"] = self.disc.init()
+        elif alg == "PWIL":
+            self.disc = PWILDiscriminator(
+                S,
+                A,
+                state_only=icfg.state_only,
+                reward_scale=icfg.reward_scale,
+                reward_bandwidth_scale=icfg.reward_bandwidth_scale,
+                time_horizon=self.env.max_episode_steps,
+                expert_states=self.expert.states,
+                expert_actions=self.expert.actions,
+            )
+            # one atom pool per vectorised env
+            pool = self.disc.init()
+            state["disc"] = jax.tree.map(
+                lambda x: jnp.broadcast_to(x, (cfg.num_envs, *x.shape)), pool
+            )
+        elif alg == "AdRIL":
+            state["relabel"] = init_relabeller()
+
+        self.state = state
+        self._build_jit_fns()
+
+        # --- Metrics (train.py:86-88) --------------------------------------
+        self.metrics = dict(
+            train_steps=[],
+            train_returns=[],
+            test_steps=[],
+            test_returns=[],
+            test_returns_normalized=[],
+            update_steps=[],
+            predicted_rewards=[],
+            alphas=[],
+            entropies=[],
+            Q_values=[],
+        )
+        self.score = []
+        self.start_step = 0
+
+        if cfg.checkpointing.resume:
+            self._resume(cfg.checkpointing.resume)
+
+    # ------------------------------------------------------------------ jit
+
+    def _build_jit_fns(self):
+        cfg, alg = self.cfg, self.alg
+        actor, learner, disc = self.actor, self.learner, self.disc
+        icfg = cfg.imitation
+        B = cfg.training.batch_size
+
+        # Data-parallel mesh: batches shard over the data axis inside the
+        # jitted update; XLA all-reduces the gradients (iltpu.parallel).
+        data_axis = cfg.parallel.data_axis
+        self.mesh = make_mesh(axis=data_axis) if data_axis else None
+        if self.mesh is not None:
+            n_dev = self.mesh.devices.size
+            assert B % n_dev == 0, (
+                f"batch_size {B} must divide the {n_dev}-device data mesh"
+            )
+
+        self._act = jax.jit(lambda p, k, s: actor.sample(p, k, s)[0])
+        self._greedy = jax.jit(actor.greedy_action)
+        self._append = jax.jit(replay_append_batch)
+
+        if alg == "PWIL":
+            pwil_one = disc.compute_reward
+
+            def pwil_step(pool, states, actions, dones):
+                new_pool, rewards = jax.vmap(pwil_one)(pool, states, actions)
+                fresh = disc.init()  # unbatched pool, broadcast against N envs
+
+                def reset_where_done(new, f):
+                    mask = dones.reshape(dones.shape + (1,) * (new.ndim - 1))
+                    return jnp.where(mask, f[None], new)
+
+                new_pool = jax.tree.map(reset_where_done, new_pool, fresh)
+                return new_pool, rewards
+
+            self._pwil_step = jax.jit(pwil_step)
+
+            def pwil_relabel_expert(expert):
+                """Sequential greedy rewards over the expert rows, pool reset
+                at trajectory ends (train.py:135-141)."""
+
+                def body(pool, row):
+                    pool, r = pwil_one(pool, row["states"], row["actions"])
+                    end = (row["terminals"] + row["timeouts"]) > 0
+                    pool = jax.tree.map(
+                        lambda p, f: jnp.where(end, f, p), pool, disc.init()
+                    )
+                    return pool, r
+
+                rows = {
+                    "states": expert.states,
+                    "actions": expert.actions,
+                    "terminals": expert.terminals,
+                    "timeouts": expert.timeouts,
+                }
+                _, rewards = jax.lax.scan(body, disc.init(), rows)
+                return expert.replace(rewards=rewards)
+
+            self._pwil_relabel_expert = jax.jit(pwil_relabel_expert)
+
+        def update_fn(state, key, step):
+            k_s, k_e, k_disc, k_rew, k_bc, k_sac = jax.random.split(key, 6)
+            transitions = replay_sample(state["replay"], k_s, B)
+            expert_transitions = replay_sample(state["expert"], k_e, B)
+            if self.mesh is not None:
+                transitions = constrain_batch(transitions, self.mesh, data_axis)
+                expert_transitions = constrain_batch(
+                    expert_transitions, self.mesh, data_axis
+                )
+            out = dict(state)
+            aux = {}
+
+            # Discriminator training (train.py:176-180)
+            if alg == "GAIL":
+                out["disc"], out["disc_opt"], d_aux = adversarial_imitation_update(
+                    disc,
+                    actor,
+                    state["sac"].actor_params,
+                    state["disc"],
+                    state["disc_opt"],
+                    self.disc_optim,
+                    transitions,
+                    expert_transitions,
+                    k_disc,
+                    self.adv_cfg,
+                )
+                aux["discriminator_loss"] = d_aux["discriminator_loss"]
+
+            # Optional expert mixing (train.py:183)
+            if icfg.mix_expert_data == "mixed_batch" and alg != "AdRIL":
+                transitions = mix_expert_agent_transitions(
+                    transitions, expert_transitions
+                )
+
+            # Reward prediction (train.py:188-198); PWIL rewards are already
+            # in the replay (computed online at env-step time).
+            if alg == "AdRIL":
+                out["relabel"], transitions = resample_and_relabel(
+                    state["relabel"],
+                    transitions,
+                    expert_transitions,
+                    step,
+                    state["replay"].num_trajectories,
+                    state["expert"].num_trajectories,
+                    update_freq=icfg.update_freq,
+                    balanced=icfg.balanced,
+                )
+            elif alg == "DRIL":
+                transitions = dict(transitions)
+                transitions["rewards"] = jax.lax.stop_gradient(
+                    disc.dril_reward(
+                        state["disc"],
+                        k_rew,
+                        transitions["states"],
+                        transitions["actions"],
+                        state["dril_threshold"],
+                    )
+                )
+            elif alg == "GAIL":
+                inp = make_gail_input(
+                    transitions["states"],
+                    transitions["actions"],
+                    transitions["next_states"],
+                    transitions["terminals"],
+                    actor,
+                    state["sac"].actor_params,
+                    icfg.discriminator.reward_shaping,
+                    icfg.discriminator.subtract_log_policy,
+                )
+                transitions = dict(transitions)
+                transitions["rewards"] = jax.lax.stop_gradient(
+                    disc.predict_reward(
+                        out["disc"],
+                        inp["state"],
+                        inp["action"],
+                        inp.get("next_state"),
+                        inp.get("terminal"),
+                        inp.get("log_policy"),
+                    )
+                )
+            elif alg == "GMMIL":
+                out["disc"], rewards = disc.predict_reward(
+                    state["disc"],
+                    transitions["states"],
+                    transitions["actions"],
+                    expert_transitions["states"],
+                    expert_transitions["actions"],
+                    transitions["weights"],
+                    expert_transitions["weights"],
+                )
+                transitions = dict(transitions)
+                transitions["rewards"] = jax.lax.stop_gradient(rewards)
+            elif alg == "RED":
+                transitions = dict(transitions)
+                transitions["rewards"] = jax.lax.stop_gradient(
+                    disc.predict_reward(
+                        state["disc"], transitions["states"], transitions["actions"]
+                    )
+                )
+
+            sac = state["sac"]
+            # Optional BC auxiliary loss on the main actor optimiser
+            # (train.py:201 uses actor_optimiser, not a separate one).
+            if icfg.bc_aux_loss:
+                new_actor, new_opt, _ = behavioural_cloning_update(
+                    actor,
+                    sac.actor_params,
+                    sac.actor_opt,
+                    learner.actor_optim,
+                    expert_transitions,
+                    rng=k_bc,
+                )
+                sac = sac.replace(actor_params=new_actor, actor_opt=new_opt)
+
+            sac, sac_aux = learner.update(sac, k_sac, transitions)
+            out["sac"] = sac
+            aux.update(
+                predicted_rewards=transitions["rewards"],
+                alphas=sac_aux["alpha"],
+                entropies=-sac_aux["log_probs"],
+                Q_values=sac_aux["Q_values"],
+            )
+            return out, aux
+
+        self._update = jax.jit(update_fn)
+
+    # ------------------------------------------------------------ phases
+
+    def _expert_batches(self, key, iterations: int, batch_size: int):
+        for i in range(iterations):
+            yield replay_sample(self.expert, jax.random.fold_in(key, i), batch_size)
+
+    def bc_pretrain(self):
+        """BC pretraining with a separate optimiser (train.py:93-98)."""
+        cfg = self.cfg
+        optim = optax.adamw(
+            cfg.bc_pretraining.learning_rate,
+            weight_decay=cfg.bc_pretraining.weight_decay,
+        )
+        sac = self.state["sac"]
+        params = sac.actor_params
+        opt = optim.init(params)
+        self.key, k = jax.random.split(self.key)
+        step = jax.jit(
+            lambda p, o, t: behavioural_cloning_update(self.actor, p, o, optim, t)
+        )
+        for batch in self._expert_batches(
+            k, cfg.bc_pretraining.iterations, cfg.training.batch_size
+        ):
+            params, opt, _ = step(params, opt, batch)
+        self.state["sac"] = sac.replace(actor_params=params)
+
+    def pretrain_discriminator(self):
+        """DRIL ensemble BC / RED predictor regression (train.py:115-128)."""
+        cfg, alg = self.cfg, self.alg
+        iters = cfg.imitation.pretraining.iterations
+        self.key, k, k2 = jax.random.split(self.key, 3)
+        if alg == "DRIL":
+            step = jax.jit(
+                lambda p, o, t, r: behavioural_cloning_update(
+                    self.disc, p, o, self.disc_optim, t, rng=r, train_dropout=True
+                )
+            )
+            params, opt = self.state["disc"], self.state["disc_opt"]
+            for i, batch in enumerate(
+                self._expert_batches(k, iters, cfg.training.batch_size)
+            ):
+                params, opt, _ = step(params, opt, batch, jax.random.fold_in(k2, i))
+            self.state["disc"], self.state["disc_opt"] = params, opt
+            self.state["dril_threshold"] = self.disc.uncertainty_threshold(
+                params,
+                k2,
+                self.expert.states,
+                self.expert.actions,
+                cfg.imitation.quantile_cutoff,
+            )
+        elif alg == "RED":
+            step = jax.jit(
+                lambda r, o, t, rk: target_estimation_update(
+                    self.disc, r, o, self.disc_optim, t, rng=rk
+                )
+            )
+            red, opt = self.state["disc"], self.state["disc_opt"]
+            for i, batch in enumerate(
+                self._expert_batches(k, iters, cfg.training.batch_size)
+            ):
+                red, opt, _ = step(red, opt, batch, jax.random.fold_in(k2, i))
+            # sigma estimated on one minibatch (train.py:128)
+            B = cfg.training.batch_size
+            red = self.disc.set_sigma(
+                red, self.expert.states[:B], self.expert.actions[:B]
+            )
+            self.state["disc"], self.state["disc_opt"] = red, opt
+
+    def evaluate(self):
+        cfg = self.cfg
+        params = self.state["sac"].actor_params
+        greedy = lambda obs: np.asarray(self._greedy(params, jnp.asarray(obs)))
+        if cfg.env_backend == "jax":
+            adapter = _JaxEnvAdapter(
+                cfg.env,
+                cfg.evaluation.episodes,
+                absorbing=cfg.imitation.absorbing,
+                seed=cfg.seed + 7919,
+            )
+            obs = adapter.reset()
+            done = np.zeros(cfg.evaluation.episodes, bool)
+            returns = np.zeros(cfg.evaluation.episodes)
+            while not done.all():
+                _, r, term, tout, obs = adapter.step(greedy(obs))
+                returns += np.where(done, 0.0, r)
+                done |= (term + tout) > 0
+            return returns.tolist()
+        return evaluate_policy(
+            cfg.env,
+            greedy,
+            cfg.evaluation.episodes,
+            absorbing=cfg.imitation.absorbing,
+            seed=cfg.seed + 7919,
+        )
+
+    def _normalized(self, returns):
+        return (
+            (np.asarray(returns) - self.norm_min) / (self.norm_max - self.norm_min)
+        ).tolist()
+
+    def _record_eval(self, step: int):
+        test_returns = self.evaluate()
+        normalized = self._normalized(test_returns)
+        self.score.append(float(np.mean(normalized)))
+        self.metrics["test_steps"].append(step)
+        self.metrics["test_returns"].append(test_returns)
+        self.metrics["test_returns_normalized"].append(normalized)
+        self._plots()
+
+    def _plots(self):
+        m, pre = self.metrics, os.path.join(self.out_dir, self.prefix)
+        cfg = self.cfg
+        title = f"{cfg.algorithm}: {cfg.env}"
+        if m["test_steps"]:
+            lineplot(m["test_steps"], m["test_returns"], pre + "test_returns", title=title)
+        if m["train_steps"]:
+            lineplot(
+                m["train_steps"], m["train_returns"], pre + "train_returns", title=title
+            )
+        if m["update_steps"]:
+            if cfg.algorithm != "SAC":
+                lineplot(
+                    m["update_steps"],
+                    m["predicted_rewards"],
+                    pre + "predicted_rewards",
+                    yaxis="Predicted Reward",
+                    title=title,
+                )
+            lineplot(m["update_steps"], m["alphas"], pre + "sac_alpha", yaxis="Alpha", title=title)
+            lineplot(
+                m["update_steps"], m["entropies"], pre + "sac_entropy", yaxis="Entropy", title=title
+            )
+            lineplot(m["update_steps"], m["Q_values"], pre + "Q_values", yaxis="Q-value", title=title)
+
+    def _save(self):
+        pre = os.path.join(self.out_dir, self.prefix)
+        sac = self.state["sac"]
+        save_checkpoint(
+            pre + "agent",
+            {
+                "actor": sac.actor_params,
+                "critic": sac.critic_params,
+                "log_alpha": sac.log_alpha,
+            },
+        )
+        if self.alg in TRAINABLE_DISCRIMINATORS:
+            save_checkpoint(pre + "discriminator", self.state["disc"])
+        with open(pre + "metrics.pkl", "wb") as f:
+            pickle.dump(self.metrics, f)
+
+    def _checkpoint(self, step: int):
+        save_checkpoint(
+            os.path.join(self.out_dir, self.prefix + "checkpoint"),
+            self.state,
+            aux={
+                "step": step,
+                "metrics": self.metrics,
+                "score": self.score,
+                "key": np.asarray(jax.random.key_data(self.key)),
+            },
+        )
+
+    def _resume(self, path: str):
+        state, aux = load_checkpoint(path)
+        # restore static fields lost in flatten/unflatten round trip
+        self.state = jax.tree.map(jnp.asarray, state)
+        self.metrics = aux["metrics"]
+        self.score = aux["score"]
+        self.start_step = aux["step"]
+        self.key = jax.random.wrap_key_data(jnp.asarray(aux["key"]))
+
+    # ---------------------------------------------------------------- run
+
+    def run(self) -> float:
+        cfg = self.cfg
+        start_time = time.time()
+
+        if cfg.bc_pretraining.iterations > 0 and self.start_step == 0:
+            self.bc_pretrain()
+            if self.alg == "BC":  # early-exit path (train.py:100-112)
+                if cfg.check_time_usage:
+                    self.metrics["pre_training_time"] = time.time() - start_time
+                test_returns = self.evaluate()
+                normalized = self._normalized(test_returns)
+                self.metrics["test_steps"] = [0]
+                self.metrics["test_returns"] = [test_returns]
+                self.metrics["test_returns_normalized"] = [normalized]
+                self._plots()
+                self._save()
+                return float(np.mean(normalized))
+
+        if self.alg in ("DRIL", "RED") and self.start_step == 0:
+            self.pretrain_discriminator()
+            if cfg.check_time_usage:
+                self.metrics["pre_training_time"] = time.time() - start_time
+                start_time = time.time()
+
+        if self.start_step == 0:
+            # PWIL expert reward rewrite + prefill (train.py:134-143)
+            if self.alg == "PWIL" and cfg.imitation.mix_expert_data != "none":
+                self.state["expert"] = self._pwil_relabel_expert(self.state["expert"])
+                self.expert = self.state["expert"]
+            if cfg.imitation.mix_expert_data == "prefill_memory":
+                self.state["replay"] = replay_transfer(
+                    self.state["replay"], self.state["expert"]
+                )
+
+        N = cfg.num_envs
+        obs = self.env.reset(cfg.seed)
+        train_return = np.zeros(N)
+        updates_done = 0
+        evals_done = self.start_step // cfg.evaluation.interval
+        logs_done = 0
+        step = self.start_step
+
+        while step < cfg.steps:
+            self.key, k_act, k_upd = jax.random.split(self.key, 3)
+            actions = self._act(self.state["sac"].actor_params, k_act, jnp.asarray(obs))
+            next_obs, rewards, terminals, timeouts, obs_after = self.env.step(
+                np.asarray(actions)
+            )
+            dones = (terminals + timeouts) > 0
+            if self.alg == "PWIL":  # online reward at env-step time (train.py:156)
+                self.state["disc"], pwil_r = self._pwil_step(
+                    self.state["disc"],
+                    jnp.asarray(obs),
+                    jnp.asarray(actions),
+                    jnp.asarray(dones),
+                )
+                rewards = np.asarray(pwil_r)
+            step_ids = jnp.full((N,), step + 1, jnp.float32)
+            self.state["replay"] = self._append(
+                self.state["replay"],
+                step_ids,
+                jnp.asarray(obs),
+                jnp.asarray(actions),
+                jnp.asarray(rewards),
+                jnp.asarray(next_obs),
+                jnp.asarray(terminals),
+                jnp.asarray(timeouts),
+            )
+            train_return += rewards
+            step += N
+            obs = obs_after
+
+            for i in np.flatnonzero(dones):
+                self.metrics["train_steps"].append(step)
+                self.metrics["train_returns"].append([float(train_return[i])])
+                train_return[i] = 0.0
+
+            # Updates: keep the reference's 1-update-per-interval-env-steps
+            # ratio regardless of num_envs (SURVEY.md §7 hard part (c)).
+            if step >= cfg.training.start:
+                target = (step - cfg.training.start) // cfg.training.interval + 1
+                while updates_done < target:
+                    self.key, k = jax.random.split(self.key)
+                    self.state, aux = self._update(
+                        self.state, k, jnp.asarray(step, jnp.float32)
+                    )
+                    updates_done += 1
+                if (
+                    cfg.logging.interval > 0
+                    and step // cfg.logging.interval > logs_done
+                ):
+                    logs_done = step // cfg.logging.interval
+                    self.metrics["update_steps"].append(step)
+                    self.metrics["predicted_rewards"].append(
+                        np.asarray(aux["predicted_rewards"]).tolist()
+                    )
+                    self.metrics["alphas"].append(float(aux["alphas"]))
+                    self.metrics["entropies"].append(
+                        np.asarray(aux["entropies"]).tolist()
+                    )
+                    self.metrics["Q_values"].append(
+                        np.asarray(aux["Q_values"]).tolist()
+                    )
+
+            if (
+                step // cfg.evaluation.interval > evals_done
+                and not cfg.check_time_usage
+            ):
+                evals_done = step // cfg.evaluation.interval
+                self._record_eval(step)
+
+            if (
+                cfg.checkpointing.interval > 0
+                and step % cfg.checkpointing.interval < N
+            ):
+                self._checkpoint(step)
+
+        if cfg.check_time_usage:
+            self.metrics["training_time"] = time.time() - start_time
+            self._record_eval(step)
+
+        if cfg.save_trajectories and cfg.env_backend != "jax":
+            params = self.state["sac"].actor_params
+            greedy = lambda o: np.asarray(self._greedy(params, jnp.asarray(o)))
+            _, trajectories = evaluate_policy(
+                cfg.env,
+                greedy,
+                cfg.evaluation.episodes,
+                absorbing=cfg.imitation.absorbing,
+                seed=cfg.seed + 104729,
+                return_trajectories=True,
+            )
+            with open(
+                os.path.join(self.out_dir, self.prefix + "trajectories.pkl"), "wb"
+            ) as f:
+                pickle.dump(trajectories, f)
+
+        self._save()
+        self.env.close()
+        return float(np.mean(self.score)) if self.score else 0.0
+
+
+def train(cfg: Dict, out_dir: str = ".", file_prefix: str = "") -> float:
+    """Functional entry point (reference train.py:26): returns the mean
+    normalized score — the HP-optimisation objective."""
+    return Trainer(cfg, out_dir, file_prefix).run()

@@ -1,0 +1,131 @@
+"""End-to-end trainer tests: short runs of every algorithm on the in-jit
+PointMass env (SURVEY.md §4: integration test = few-hundred-step run per
+algorithm on a tiny env), the BC early-exit path, checkpoint/resume, and a
+host-MuJoCo smoke run."""
+
+import os
+
+import numpy as np
+import pytest
+
+from iltpu.config import load_config
+from iltpu.trainer import Trainer, train
+
+FAST = [
+    "env=pointmass",
+    "env_backend=jax",
+    "steps=300",
+    "training.start=100",
+    "evaluation.interval=150",
+    "evaluation.episodes=2",
+    "logging.interval=50",
+    "memory.size=1000",
+    "imitation.trajectories=4",
+    "training.batch_size=32",
+]
+
+
+def _cfg(*extra):
+    return load_config(FAST + list(extra))
+
+
+@pytest.mark.parametrize(
+    "alg,extra",
+    [
+        ("SAC", []),
+        ("GAIL", []),
+        ("GMMIL", []),
+        ("PWIL", []),
+        ("AdRIL", []),
+        ("DRIL", ["imitation.pretraining.iterations=20"]),
+        ("RED", ["imitation.pretraining.iterations=20"]),
+    ],
+)
+def test_trainer_all_algorithms_smoke(alg, extra, tmp_path):
+    score = train(_cfg(f"algorithm={alg}", *extra), str(tmp_path))
+    assert np.isfinite(score)
+    # final artifacts exist (train.py:232-239 parity)
+    assert os.path.isdir(tmp_path / "agent")
+    assert os.path.isfile(tmp_path / "metrics.pkl")
+    if alg in ("DRIL", "GAIL", "RED"):
+        assert os.path.isdir(tmp_path / "discriminator")
+
+
+def test_bc_early_exit(tmp_path):
+    cfg = _cfg("algorithm=BC", "bc_pretraining.iterations=50")
+    score = train(cfg, str(tmp_path))
+    assert np.isfinite(score)
+    import pickle
+
+    with open(tmp_path / "metrics.pkl", "rb") as f:
+        metrics = pickle.load(f)
+    # BC evaluates once at step 0 and never enters the main loop
+    assert metrics["test_steps"] == [0]
+    assert metrics["update_steps"] == []
+
+
+def test_gail_mixed_batch_and_state_only(tmp_path):
+    cfg = _cfg(
+        "algorithm=GAIL",
+        "imitation.mix_expert_data=mixed_batch",
+        "imitation.state_only=true",
+        "imitation.discriminator.reward_shaping=true",
+        "imitation.discriminator.subtract_log_policy=true",
+        "imitation.loss_function=Mixup",
+    )
+    assert np.isfinite(train(cfg, str(tmp_path)))
+
+
+def test_prefill_memory_path(tmp_path):
+    cfg = _cfg("algorithm=GMMIL", "imitation.mix_expert_data=prefill_memory")
+    t = Trainer(cfg, str(tmp_path))
+    assert int(t.state["replay"].idx) == 0
+    score = t.run()
+    assert np.isfinite(score)
+
+
+def test_pwil_prefill_rewrites_expert_rewards(tmp_path):
+    cfg = _cfg("algorithm=PWIL", "imitation.mix_expert_data=prefill_memory")
+    t = Trainer(cfg, str(tmp_path))
+    before = np.asarray(t.state["expert"].rewards).copy()
+    assert (before == 0).all()  # zeroed at load (env.py:124)
+    t.run()
+    after = np.asarray(t.expert.rewards)
+    assert (after > 0).any()  # PWIL rewrite happened (train.py:135-141)
+
+
+def test_checkpoint_resume_continues(tmp_path):
+    cfg = _cfg("algorithm=SAC", "checkpointing.interval=100")
+    t = Trainer(cfg, str(tmp_path))
+    t.run()
+    ckpt = str(tmp_path / "checkpoint")
+    assert os.path.isdir(ckpt)
+    # resume from the checkpoint and run to completion again
+    cfg2 = _cfg("algorithm=SAC", f"checkpointing.resume={ckpt}", "steps=400")
+    t2 = Trainer(cfg2, str(tmp_path / "resumed"))
+    assert t2.start_step > 0
+    assert np.isfinite(t2.run())
+
+
+def test_num_envs_batched_acting(tmp_path):
+    cfg = _cfg("algorithm=SAC", "num_envs=4")
+    score = train(cfg, str(tmp_path))
+    assert np.isfinite(score)
+
+
+@pytest.mark.slow
+def test_mujoco_backend_smoke(tmp_path):
+    cfg = load_config(
+        [
+            "algorithm=SAC",
+            "env=hopper",
+            "steps=120",
+            "training.start=50",
+            "evaluation.interval=100",
+            "evaluation.episodes=1",
+            "logging.interval=50",
+            "memory.size=500",
+            "training.batch_size=16",
+        ]
+    )
+    assert np.isfinite(train(cfg, str(tmp_path)))

@@ -52,8 +52,13 @@ class TwinCritic:
 
 
 def create_target_params(params: Params) -> Params:
-    """Deep copy of the online params (models.py:72-76)."""
-    return jax.tree.map(lambda x: x, params)
+    """Deep copy of the online params (models.py:72-76).
+
+    Must be a real buffer copy, not an identity map: the trainer donates the
+    whole state pytree at the jit boundary, and aliased leaves (same buffer at
+    two tree positions) make XLA reject the donation.
+    """
+    return jax.tree.map(jnp.copy, params)
 
 
 def polyak_update(params: Params, target_params: Params, polyak_factor: float) -> Params:

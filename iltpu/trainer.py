@@ -339,10 +339,17 @@ class Trainer:
                 f"batch_size {B} must divide the {n_dev}-device data mesh"
             )
 
-        self._act = jax.jit(lambda p, k, s: actor.sample(p, k, s)[0])
+        # Acting: per-step keys derived on device via fold_in (no host-side
+        # key splitting in the hot loop).
+        self._interact = jax.jit(
+            lambda p, base, step, s: actor.sample(
+                p, jax.random.fold_in(base, step), s
+            )[0]
+        )
         self._greedy = jax.jit(actor.greedy_action)
         self._append = jax.jit(replay_append_batch)
 
+        pwil_step = None
         if alg == "PWIL":
             pwil_one = disc.compute_reward
 
@@ -507,6 +514,64 @@ class Trainer:
             return out, aux
 
         self._update = jax.jit(update_fn)
+
+        def post_step(
+            state,
+            base_key,
+            step,
+            obs,
+            actions,
+            rewards,
+            next_obs,
+            terminals,
+            timeouts,
+            n_updates,
+        ):
+            """Everything after env.step, fused into one device program:
+            PWIL online reward -> ring append (absorbing wrap inline) ->
+            n_updates full update steps. The state pytree is DONATED at the
+            jit boundary, so replay writes and optimiser updates happen
+            in-place in HBM instead of copying the ring every step."""
+            state = dict(state)
+            dones = (terminals + timeouts) > 0
+            store_rewards = rewards
+            if alg == "PWIL":  # online reward at env-step time (train.py:156)
+                state["disc"], store_rewards = pwil_step(
+                    state["disc"], obs, actions, dones
+                )
+            n = obs.shape[0]
+            step_ids = jnp.full((n,), 0.0, jnp.float32) + (step + 1)
+            state["replay"] = replay_append_batch(
+                state["replay"],
+                step_ids,
+                obs,
+                actions,
+                store_rewards,
+                next_obs,
+                terminals,
+                timeouts,
+            )
+            aux = {"pwil_rewards": store_rewards} if alg == "PWIL" else {}
+            if n_updates > 0:
+                # lax.scan traces the update body ONCE regardless of
+                # n_updates (vs a Python unroll, which inflates both the
+                # HLO and compile time when num_envs > 1).
+                keys = jax.vmap(
+                    lambda i: jax.random.fold_in(
+                        jax.random.fold_in(base_key, 0x5AC + i), step
+                    )
+                )(jnp.arange(n_updates))
+
+                def one_update(s, k):
+                    return update_fn(s, k, step.astype(jnp.float32))
+
+                state, upd_aux = jax.lax.scan(one_update, state, keys)
+                aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
+            return state, aux
+
+        self._post_step = jax.jit(
+            post_step, static_argnames=("n_updates",), donate_argnums=(0,)
+        )
 
     # ------------------------------------------------------------ phases
 
@@ -723,34 +788,47 @@ class Trainer:
         logs_done = 0
         step = self.start_step
 
+        base_key = self.key  # per-step keys are fold_in(base, step) on device
         while step < cfg.steps:
-            self.key, k_act, k_upd = jax.random.split(self.key, 3)
-            actions = self._act(self.state["sac"].actor_params, k_act, jnp.asarray(obs))
+            actions = self._interact(
+                self.state["sac"].actor_params,
+                base_key,
+                jnp.asarray(step, jnp.int32),
+                jnp.asarray(obs),
+            )
             next_obs, rewards, terminals, timeouts, obs_after = self.env.step(
                 np.asarray(actions)
             )
             dones = (terminals + timeouts) > 0
-            if self.alg == "PWIL":  # online reward at env-step time (train.py:156)
-                self.state["disc"], pwil_r = self._pwil_step(
-                    self.state["disc"],
-                    jnp.asarray(obs),
-                    jnp.asarray(actions),
-                    jnp.asarray(dones),
-                )
-                rewards = np.asarray(pwil_r)
-            step_ids = jnp.full((N,), step + 1, jnp.float32)
-            self.state["replay"] = self._append(
-                self.state["replay"],
-                step_ids,
+            # train_return tracks the TRUE env reward even when PWIL
+            # overwrites the stored reward (train.py:154-156 ordering).
+            train_return += rewards
+            new_step = step + N
+
+            # Updates owed this iteration: preserve the reference's
+            # 1-update-per-interval-env-steps ratio regardless of num_envs
+            # (SURVEY.md §7 hard part (c)).
+            n_updates = 0
+            if new_step >= cfg.training.start:
+                target = (new_step - cfg.training.start) // cfg.training.interval + 1
+                n_updates = int(target - updates_done)
+                updates_done = target
+
+            # Fused device program: PWIL reward -> append -> updates, with
+            # the state donated (in-place HBM ring writes).
+            self.state, aux = self._post_step(
+                self.state,
+                base_key,
+                jnp.asarray(step, jnp.int32),
                 jnp.asarray(obs),
-                jnp.asarray(actions),
+                actions,
                 jnp.asarray(rewards),
                 jnp.asarray(next_obs),
                 jnp.asarray(terminals),
                 jnp.asarray(timeouts),
+                n_updates=n_updates,
             )
-            train_return += rewards
-            step += N
+            step = new_step
             obs = obs_after
 
             for i in np.flatnonzero(dones):
@@ -758,16 +836,7 @@ class Trainer:
                 self.metrics["train_returns"].append([float(train_return[i])])
                 train_return[i] = 0.0
 
-            # Updates: keep the reference's 1-update-per-interval-env-steps
-            # ratio regardless of num_envs (SURVEY.md §7 hard part (c)).
-            if step >= cfg.training.start:
-                target = (step - cfg.training.start) // cfg.training.interval + 1
-                while updates_done < target:
-                    self.key, k = jax.random.split(self.key)
-                    self.state, aux = self._update(
-                        self.state, k, jnp.asarray(step, jnp.float32)
-                    )
-                    updates_done += 1
+            if n_updates > 0:
                 if (
                     cfg.logging.interval > 0
                     and step // cfg.logging.interval > logs_done
@@ -797,6 +866,10 @@ class Trainer:
                 and step % cfg.checkpointing.interval < N
             ):
                 self._checkpoint(step)
+
+        # The hot loop donated self.state each iteration, deleting the buffers
+        # any pre-loop alias (self.expert) pointed at; re-sync from live state.
+        self.expert = self.state["expert"]
 
         if cfg.check_time_usage:
             self.metrics["training_time"] = time.time() - start_time

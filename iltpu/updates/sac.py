@@ -70,7 +70,9 @@ class SACLearner:
         return SACState(
             actor_params=actor_params,
             critic_params=critic_params,
-            target_critic_params=jax.tree.map(lambda x: x, critic_params),
+            # Real buffer copy (not identity): the trainer donates the whole
+            # state pytree, and aliased leaves break XLA donation.
+            target_critic_params=jax.tree.map(jnp.copy, critic_params),
             log_alpha=log_alpha,
             actor_opt=self.actor_optim.init(actor_params),
             critic_opt=self.critic_optim.init(critic_params),

@@ -128,6 +128,7 @@ def evaluate_policy(
     absorbing: bool = True,
     seed: int = 0,
     return_trajectories: bool = False,
+    env_cls=None,
 ):
     """Batched greedy evaluation (reference evaluation.py:11-35).
 
@@ -137,7 +138,8 @@ def evaluate_policy(
     episodes masked out. Returns a list of episode returns (plus optional
     trajectories with synthesised terminal flags, evaluation.py:30-33).
     """
-    env = HostVecEnv(env_name, num_episodes, absorbing=absorbing, seed=seed)
+    env_cls = HostVecEnv if env_cls is None else env_cls
+    env = env_cls(env_name, num_episodes, absorbing=absorbing, seed=seed)
     obs = env.reset()
     done = np.zeros(num_episodes, bool)
     returns = np.zeros(num_episodes, np.float64)

@@ -117,6 +117,13 @@ def _make_env(cfg: DotDict, num_envs: int, seed: int):
         return _JaxEnvAdapter(
             cfg.env, num_envs, absorbing=cfg.imitation.absorbing, seed=seed
         )
+    if cfg.env_backend in ("native", "auto"):
+        from iltpu.envs.native import NativeVecEnv, native_available
+
+        if cfg.env_backend == "native" or native_available():
+            return NativeVecEnv(
+                cfg.env, num_envs, absorbing=cfg.imitation.absorbing, seed=seed
+            )
     return HostVecEnv(
         cfg.env, num_envs, absorbing=cfg.imitation.absorbing, seed=seed
     )
@@ -666,6 +673,7 @@ class Trainer:
             cfg.evaluation.episodes,
             absorbing=cfg.imitation.absorbing,
             seed=cfg.seed + 7919,
+            env_cls=type(self.env) if cfg.env_backend in ("native", "auto") else None,
         )
 
     def _normalized(self, returns):

@@ -10,8 +10,11 @@ via a warmup phase sharing the in-process jit cache).
 this host (bench_baseline.json; the reference publishes no throughput
 numbers — BASELINE.md). Prints ONE JSON line.
 
-Env knobs: BENCH_STEPS (default 1500), BENCH_WARMUP (300), BENCH_NUM_ENVS
-(1 = reference-parity serial acting), BENCH_PLATFORM (pin jax backend).
+Env knobs: BENCH_STEPS (default 4000), BENCH_WARMUP (800), BENCH_NUM_ENVS
+(default 16 batched envs; 1 = reference-parity serial acting — either way
+the 1 update : 1 env-step ratio is preserved), BENCH_PLATFORM (pin jax
+backend), BENCH_ENV_BACKEND (default auto: in-repo C++ stepper when
+buildable, else gymnasium).
 """
 
 import json
@@ -20,23 +23,32 @@ import time
 
 
 def main():
-    if os.environ.get("BENCH_PLATFORM"):
-        import jax
+    import jax
 
+    if os.environ.get("BENCH_PLATFORM"):
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+    # Persistent compile cache: on the tunneled-TPU link a single trivial
+    # compile can take minutes, so cache across processes/rounds.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iltpu.config import load_config
     from iltpu.trainer import Trainer
 
-    steps = int(os.environ.get("BENCH_STEPS", 1500))
-    warmup = int(os.environ.get("BENCH_WARMUP", 300))
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 1))
+    steps = int(os.environ.get("BENCH_STEPS", 4000))
+    warmup = int(os.environ.get("BENCH_WARMUP", 800))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 16))
+    env_backend = os.environ.get("BENCH_ENV_BACKEND", "auto")
 
     def make(n_steps, seed):
         cfg = load_config(
             [
                 "algorithm=GAIL",
                 "env=hopper",
+                f"env_backend={env_backend}",
                 f"seed={seed}",
                 f"num_envs={num_envs}",
                 f"steps={n_steps}",

@@ -106,6 +106,25 @@ def load_config(
     cfg = _load_yaml("train.yaml", conf_dir)
 
     algorithm = overrides.get("algorithm", cfg.get("algorithm", "SAC"))
+    # Convenience aliases: in the reference these are option settings on
+    # AdRIL/GAIL, not algorithm names (README.md:27,35-37).
+    alias_overrides = {
+        "SQIL": ("AdRIL", {"imitation.update_freq": 0}),
+        "AIRL": (
+            "GAIL",
+            {
+                "imitation.discriminator.reward_shaping": True,
+                "imitation.discriminator.subtract_log_policy": True,
+                "imitation.discriminator.reward_function": "AIRL",
+            },
+        ),
+        "FAIRL": ("GAIL", {"imitation.discriminator.reward_function": "FAIRL"}),
+    }
+    if algorithm in alias_overrides:
+        algorithm, extra = alias_overrides[algorithm]
+        overrides["algorithm"] = algorithm  # resolved name drives dispatch
+        for key, value in extra.items():
+            overrides.setdefault(key, value)
     assert algorithm in ALGORITHMS, f"unknown algorithm {algorithm}"
     alg_overlays = _load_yaml("algorithms.yaml", conf_dir)
     cfg = deep_merge(cfg, alg_overlays.get(algorithm) or {})

@@ -28,8 +28,18 @@ class GMMILState:
 
 
 class GMMILDiscriminator:
-    def __init__(self, state_size: int, action_size: int, *, state_only: bool = False):
+    def __init__(
+        self,
+        state_size: int,
+        action_size: int,
+        *,
+        state_only: bool = False,
+        use_pallas: bool | str = "auto",
+    ):
         self.state_only = state_only
+        if use_pallas == "auto":
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = bool(use_pallas)
 
     def init(self) -> GMMILState:
         return GMMILState(
@@ -53,13 +63,15 @@ class GMMILDiscriminator:
     ) -> Tuple[GMMILState, jax.Array]:
         sa = self._atoms(state, action)
         esa = self._atoms(expert_state, expert_action)
-        d2_ae = squared_distance(sa, esa)
-        d2_aa = squared_distance(sa, sa)
 
         def init_gammas(_):
+            # Median-heuristic bandwidths need the full distance matrices —
+            # computed only inside this one-time branch so the steady-state
+            # Pallas path never materialises them.
+            d2_ae_i = squared_distance(sa, esa)
             d2_ee = squared_distance(esa, esa)
             g1 = 1.0 / (
-                weighted_median(d2_ae, jnp.outer(weight, expert_weight)) + 1e-8
+                weighted_median(d2_ae_i, jnp.outer(weight, expert_weight)) + 1e-8
             )
             g2 = 1.0 / (
                 weighted_median(d2_ee, jnp.outer(expert_weight, expert_weight)) + 1e-8
@@ -76,6 +88,19 @@ class GMMILDiscriminator:
             gamma_1=gamma_1, gamma_2=gamma_2, initialized=jnp.ones((), jnp.bool_)
         )
 
+        if self.use_pallas:
+            # Fused tiled kernel: distances + both Gaussian kernels +
+            # weighted row sums without writing the (B, E)/(B, B) matrices
+            # to HBM (iltpu.ops.pallas_pairwise).
+            from iltpu.ops.pallas_pairwise import gmmil_witness_reward
+
+            reward = gmmil_witness_reward(
+                sa, esa, weight, expert_weight, gamma_1, gamma_2
+            )
+            return new_carry, reward
+
+        d2_ae = squared_distance(sa, esa)
+        d2_aa = squared_distance(sa, sa)
         w_norm = weight / weight.sum()
         ew_norm = expert_weight / expert_weight.sum()
         similarity = weighted_similarity(d2_ae, w_norm, ew_norm, gamma_1) + (

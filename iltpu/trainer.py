@@ -339,7 +339,11 @@ class Trainer:
         # Data-parallel mesh: batches shard over the data axis inside the
         # jitted update; XLA all-reduces the gradients (iltpu.parallel).
         data_axis = cfg.parallel.data_axis
-        self.mesh = make_mesh(axis=data_axis) if data_axis else None
+        self.mesh = (
+            make_mesh(cfg.parallel.get("num_devices"), axis=data_axis)
+            if data_axis
+            else None
+        )
         if self.mesh is not None:
             n_dev = self.mesh.devices.size
             assert B % n_dev == 0, (
@@ -522,24 +526,36 @@ class Trainer:
 
         self._update = jax.jit(update_fn)
 
-        def post_step(
-            state,
-            base_key,
-            step,
-            obs,
-            actions,
-            rewards,
-            next_obs,
-            terminals,
-            timeouts,
-            n_updates,
-        ):
+        S_obs, A_act = self.env.obs_size, self.env.action_size
+
+        def post_step(state, base_key, packed, n_updates):
             """Everything after env.step, fused into one device program:
             PWIL online reward -> ring append (absorbing wrap inline) ->
-            n_updates full update steps. The state pytree is DONATED at the
-            jit boundary, so replay writes and optimiser updates happen
-            in-place in HBM instead of copying the ring every step."""
+            n_updates full update steps -> next actions. The state pytree is
+            DONATED at the jit boundary, so replay writes and optimiser
+            updates happen in-place in HBM instead of copying the ring every
+            step. All per-step host data arrives as ONE packed (N, D) f32
+            buffer — on the tunneled-TPU link every separate transfer pays
+            full link latency, so argument count is a first-order cost.
+            Layout: [obs | actions | reward | next_obs | terminal | timeout |
+            obs_after | step]."""
             state = dict(state)
+            ofs = 0
+
+            def take(n):
+                nonlocal ofs
+                col = packed[:, ofs : ofs + n]
+                ofs += n
+                return col
+
+            obs = take(S_obs)
+            actions = take(A_act)
+            rewards = take(1)[:, 0]
+            next_obs = take(S_obs)
+            terminals = take(1)[:, 0]
+            timeouts = take(1)[:, 0]
+            next_policy_obs = take(S_obs)
+            step = take(1)[0, 0].astype(jnp.int32)
             dones = (terminals + timeouts) > 0
             store_rewards = rewards
             if alg == "PWIL":  # online reward at env-step time (train.py:156)
@@ -574,7 +590,18 @@ class Trainer:
 
                 state, upd_aux = jax.lax.scan(one_update, state, keys)
                 aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
-            return state, aux
+            # NEXT step's actions, sampled with the freshly-updated actor
+            # (reference ordering: act uses params updated through this
+            # step, train.py:152,203). Folding acting into this program
+            # keeps the hot loop at ONE device call per iteration — on a
+            # high-latency link (tunneled TPU: ~27 ms/call) the sync count,
+            # not compute, bounds throughput.
+            next_actions = actor.sample(
+                state["sac"].actor_params,
+                jax.random.fold_in(base_key, step + n),  # == fold at next step id
+                next_policy_obs,
+            )[0]
+            return state, aux, next_actions
 
         self._post_step = jax.jit(
             post_step, static_argnames=("n_updates",), donate_argnums=(0,)
@@ -796,16 +823,37 @@ class Trainer:
         logs_done = 0
         step = self.start_step
 
+        # jax.profiler window over the steady-state hot loop (SURVEY.md §5:
+        # the reference's only perf hook is a wall-clock mode; here the
+        # device timeline is the first-class tool).
+        prof = cfg.get("profiling") or {}
+        prof_dir = prof.get("trace_dir")
+        prof_start = int(prof.get("start_step", 2000))
+        prof_stop = prof_start + int(prof.get("steps", 200))
+        profiling = False
+
         base_key = self.key  # per-step keys are fold_in(base, step) on device
+        # Bootstrap: first actions from the standalone acting program; every
+        # subsequent iteration gets its actions from the fused post_step call
+        # (ONE device round-trip per loop iteration — on the tunneled-TPU
+        # link the per-call latency, not compute, bounds throughput).
+        actions = self._interact(
+            self.state["sac"].actor_params,
+            base_key,
+            jnp.asarray(step, jnp.int32),
+            jnp.asarray(obs),
+        )
         while step < cfg.steps:
-            actions = self._interact(
-                self.state["sac"].actor_params,
-                base_key,
-                jnp.asarray(step, jnp.int32),
-                jnp.asarray(obs),
-            )
+            if prof_dir and not profiling and step >= prof_start:
+                jax.profiler.start_trace(prof_dir)
+                profiling = True
+            if profiling and step >= prof_stop:
+                jax.profiler.stop_trace()
+                profiling = False
+                prof_dir = None
+            actions_host = np.asarray(actions, np.float32)
             next_obs, rewards, terminals, timeouts, obs_after = self.env.step(
-                np.asarray(actions)
+                actions_host
             )
             dones = (terminals + timeouts) > 0
             # train_return tracks the TRUE env reward even when PWIL
@@ -822,19 +870,24 @@ class Trainer:
                 n_updates = int(target - updates_done)
                 updates_done = target
 
-            # Fused device program: PWIL reward -> append -> updates, with
-            # the state donated (in-place HBM ring writes).
-            self.state, aux = self._post_step(
-                self.state,
-                base_key,
-                jnp.asarray(step, jnp.int32),
-                jnp.asarray(obs),
-                actions,
-                jnp.asarray(rewards),
-                jnp.asarray(next_obs),
-                jnp.asarray(terminals),
-                jnp.asarray(timeouts),
-                n_updates=n_updates,
+            # Fused device program: PWIL reward -> append -> updates ->
+            # next actions, with the state donated (in-place HBM ring
+            # writes) and all step data shipped as one packed transfer.
+            packed = np.concatenate(
+                [
+                    np.asarray(obs, np.float32),
+                    actions_host,
+                    np.asarray(rewards, np.float32)[:, None],
+                    np.asarray(next_obs, np.float32),
+                    np.asarray(terminals, np.float32)[:, None],
+                    np.asarray(timeouts, np.float32)[:, None],
+                    np.asarray(obs_after, np.float32),
+                    np.full((N, 1), float(step), np.float32),
+                ],
+                axis=1,
+            )
+            self.state, aux, actions = self._post_step(
+                self.state, base_key, jnp.asarray(packed), n_updates=n_updates
             )
             step = new_step
             obs = obs_after
@@ -874,6 +927,9 @@ class Trainer:
                 and step % cfg.checkpointing.interval < N
             ):
                 self._checkpoint(step)
+
+        if profiling:
+            jax.profiler.stop_trace()
 
         # The hot loop donated self.state each iteration, deleting the buffers
         # any pre-loop alias (self.expert) pointed at; re-sync from live state.

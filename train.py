@@ -27,10 +27,16 @@ def main(argv=None):
     # Select the JAX backend BEFORE any device use: plugins (e.g. the axon
     # TPU tunnel) override JAX_PLATFORMS programmatically, so an env var is
     # not enough to pin the platform.
-    if cfg.get("platform"):
-        import jax
+    import jax
 
+    if cfg.get("platform"):
         jax.config.update("jax_platforms", cfg["platform"])
+    # Persistent compile cache (tunneled-TPU compiles can take minutes).
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from iltpu.trainer import train
 

@@ -42,6 +42,9 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", 800))
     num_envs = int(os.environ.get("BENCH_NUM_ENVS", 16))
     env_backend = os.environ.get("BENCH_ENV_BACKEND", "auto")
+    # Pipelined acting (device updates overlap env stepping; params stale by
+    # one iteration) is the framework's intended production mode.
+    pipeline = os.environ.get("BENCH_PIPELINE", "1") != "0"
 
     def make(n_steps, seed):
         cfg = load_config(
@@ -49,6 +52,7 @@ def main():
                 "algorithm=GAIL",
                 "env=hopper",
                 f"env_backend={env_backend}",
+                f"training.pipeline={str(pipeline).lower()}",
                 f"seed={seed}",
                 f"num_envs={num_envs}",
                 f"steps={n_steps}",

@@ -120,6 +120,39 @@ class HostVecEnv:
             env.close()
 
 
+def render_rollout(
+    env_name: str,
+    act_fn,
+    out_path: str,
+    *,
+    absorbing: bool = True,
+    seed: int = 0,
+    max_frames: int = 500,
+) -> int:
+    """Greedy rollout with rgb_array frame capture, saved as a compressed
+    npz stack (reference `evaluation.py` renders live; headless TPU hosts
+    save frames instead). Returns the number of frames written."""
+    import os
+
+    os.environ.setdefault("MUJOCO_GL", "egl")  # headless GPU-less rendering
+    import gymnasium as gym
+
+    spec = SPECS[env_name]
+    env = gym.make(spec.gym_id, render_mode="rgb_array", **spec.gym_kwargs)
+    obs, _ = env.reset(seed=seed)
+    frames = []
+    for _ in range(max_frames):
+        full = np.concatenate([obs, [0.0]]).astype(np.float32) if absorbing else obs
+        action = np.asarray(act_fn(full[None]))[0]
+        obs, _, terminated, truncated, _ = env.step(action)
+        frames.append(env.render())
+        if terminated or truncated:
+            break
+    env.close()
+    np.savez_compressed(out_path, frames=np.stack(frames).astype(np.uint8))
+    return len(frames)
+
+
 def evaluate_policy(
     env_name: str,
     act_fn,

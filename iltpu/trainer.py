@@ -133,8 +133,11 @@ def _load_expert_dataset(cfg: DotDict, env) -> Dict[str, np.ndarray]:
     src = cfg.expert_data.source
     if src == "hdf5":
         return load_d4rl_hdf5(cfg.expert_data.path)
-    if src == "npz" or (cfg.expert_data.path or "").endswith(".npz"):
-        with np.load(cfg.expert_data.path) as data:
+    if src == "npz" or str(src).endswith(".npz") or (
+        cfg.expert_data.path or ""
+    ).endswith(".npz"):
+        path = src if str(src).endswith(".npz") else cfg.expert_data.path
+        with np.load(path) as data:
             return {k: data[k] for k in data.files}
     assert src == "synthetic", f"unknown expert_data.source {src}"
     # Self-sufficient fallback (no D4RL downloads in this environment):
@@ -528,34 +531,22 @@ class Trainer:
 
         S_obs, A_act = self.env.obs_size, self.env.action_size
 
-        def post_step(state, base_key, packed, n_updates):
-            """Everything after env.step, fused into one device program:
-            PWIL online reward -> ring append (absorbing wrap inline) ->
-            n_updates full update steps -> next actions. The state pytree is
-            DONATED at the jit boundary, so replay writes and optimiser
-            updates happen in-place in HBM instead of copying the ring every
-            step. All per-step host data arrives as ONE packed (N, D) f32
-            buffer — on the tunneled-TPU link every separate transfer pays
-            full link latency, so argument count is a first-order cost.
-            Layout: [obs | actions | reward | next_obs | terminal | timeout |
-            obs_after | step]."""
+        def transition_core(
+            state,
+            base_key,
+            step,
+            obs,
+            actions,
+            rewards,
+            next_obs,
+            terminals,
+            timeouts,
+            n_updates,
+        ):
+            """PWIL online reward -> ring append (absorbing wrap inline) ->
+            n_updates full update steps. Shared by the host-driven post_step
+            and the fully on-device scan loop."""
             state = dict(state)
-            ofs = 0
-
-            def take(n):
-                nonlocal ofs
-                col = packed[:, ofs : ofs + n]
-                ofs += n
-                return col
-
-            obs = take(S_obs)
-            actions = take(A_act)
-            rewards = take(1)[:, 0]
-            next_obs = take(S_obs)
-            terminals = take(1)[:, 0]
-            timeouts = take(1)[:, 0]
-            next_policy_obs = take(S_obs)
-            step = take(1)[0, 0].astype(jnp.int32)
             dones = (terminals + timeouts) > 0
             store_rewards = rewards
             if alg == "PWIL":  # online reward at env-step time (train.py:156)
@@ -590,6 +581,41 @@ class Trainer:
 
                 state, upd_aux = jax.lax.scan(one_update, state, keys)
                 aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
+            return state, aux
+
+        self._transition_core = transition_core
+
+        def post_step(state, base_key, packed, n_updates):
+            """Everything after env.step, fused into one device program:
+            transition_core -> next actions. The state pytree is DONATED at
+            the jit boundary, so replay writes and optimiser updates happen
+            in-place in HBM instead of copying the ring every step. All
+            per-step host data arrives as ONE packed (N, D) f32 buffer — on
+            the tunneled-TPU link every separate transfer pays full link
+            latency, so argument count is a first-order cost.
+            Layout: [obs | actions | reward | next_obs | terminal | timeout |
+            obs_after | step]."""
+            ofs = 0
+
+            def take(n):
+                nonlocal ofs
+                col = packed[:, ofs : ofs + n]
+                ofs += n
+                return col
+
+            obs = take(S_obs)
+            actions = take(A_act)
+            rewards = take(1)[:, 0]
+            next_obs = take(S_obs)
+            terminals = take(1)[:, 0]
+            timeouts = take(1)[:, 0]
+            next_policy_obs = take(S_obs)
+            step = take(1)[0, 0].astype(jnp.int32)
+            n = obs.shape[0]
+            state, aux = transition_core(
+                state, base_key, step, obs, actions, rewards, next_obs,
+                terminals, timeouts, n_updates,
+            )
             # NEXT step's actions, sampled with the freshly-updated actor
             # (reference ordering: act uses params updated through this
             # step, train.py:152,203). Folding acting into this program
@@ -606,6 +632,56 @@ class Trainer:
         self._post_step = jax.jit(
             post_step, static_argnames=("n_updates",), donate_argnums=(0,)
         )
+
+        if cfg.env_backend == "jax":
+            venv = self.env.venv
+            N_envs = cfg.num_envs
+
+            def scan_chunk(
+                state, env_state, base_key, start_step, n_iters, updates_per_iter
+            ):
+                """Fully on-device training: act -> env physics -> replay ->
+                updates, ALL inside one lax.scan — zero host involvement for
+                n_iters iterations. This is the TPU-native endgame the pure-
+                JAX envs exist for: the Python<->device boundary (the entire
+                bottleneck of the reference loop, train.py:149-158) is
+                crossed once per chunk instead of once per step."""
+
+                def body(carry, i):
+                    state, env_state = carry
+                    step = start_step + i * N_envs
+                    obs = env_state.obs
+                    actions = actor.sample(
+                        state["sac"].actor_params,
+                        jax.random.fold_in(base_key, step),
+                        obs,
+                    )[0]
+                    env_state, out = venv.step(env_state, actions)
+                    state, aux = transition_core(
+                        state,
+                        base_key,
+                        step,
+                        obs,
+                        actions,
+                        out.reward,
+                        out.next_obs,
+                        out.terminal,
+                        out.timeout,
+                        updates_per_iter,
+                    )
+                    return (state, env_state), (out.reward, out.done, aux)
+
+                (state, env_state), (rewards, dones, aux) = jax.lax.scan(
+                    body, (state, env_state), jnp.arange(n_iters)
+                )
+                last_aux = jax.tree.map(lambda a: a[-1], aux)
+                return state, env_state, rewards, dones, last_aux
+
+            self._scan_chunk = jax.jit(
+                scan_chunk,
+                static_argnames=("n_iters", "updates_per_iter"),
+                donate_argnums=(0, 1),
+            )
 
     # ------------------------------------------------------------ phases
 
@@ -815,6 +891,22 @@ class Trainer:
                     self.state["replay"], self.state["expert"]
                 )
 
+        if cfg.env_backend == "jax" and cfg.training.get("on_device_loop", False):
+            self._device_loop()
+        else:
+            self._host_loop()
+
+        if cfg.check_time_usage:
+            self.metrics["training_time"] = time.time() - start_time
+            self._record_eval(self.step_done)
+
+        return self._finish()
+
+    def _host_loop(self):
+        """Reference-ordering interact/update loop: one fused device call
+        per iteration, env physics on the host (MuJoCo) or host-driven
+        jitted env."""
+        cfg = self.cfg
         N = cfg.num_envs
         obs = self.env.reset(cfg.seed)
         train_return = np.zeros(N)
@@ -831,6 +923,7 @@ class Trainer:
         prof_start = int(prof.get("start_step", 2000))
         prof_stop = prof_start + int(prof.get("steps", 200))
         profiling = False
+        pipeline = bool(cfg.training.get("pipeline", False))
 
         base_key = self.key  # per-step keys are fold_in(base, step) on device
         # Bootstrap: first actions from the standalone acting program; every
@@ -886,9 +979,26 @@ class Trainer:
                 ],
                 axis=1,
             )
-            self.state, aux, actions = self._post_step(
-                self.state, base_key, jnp.asarray(packed), n_updates=n_updates
-            )
+            if pipeline:
+                # Perf mode: dispatch next-step acting BEFORE the update
+                # program. The device executes them in queue order (acting
+                # reads the pre-update params, then the update donates the
+                # state), so the actions d2h transfer and the host env step
+                # overlap with the update's device time. Acting params are
+                # stale by this iteration's updates.
+                actions = self._interact(
+                    self.state["sac"].actor_params,
+                    base_key,
+                    jnp.asarray(new_step, jnp.int32),
+                    jnp.asarray(obs_after),
+                )
+                self.state, aux, _ = self._post_step(
+                    self.state, base_key, jnp.asarray(packed), n_updates=n_updates
+                )
+            else:
+                self.state, aux, actions = self._post_step(
+                    self.state, base_key, jnp.asarray(packed), n_updates=n_updates
+                )
             step = new_step
             obs = obs_after
 
@@ -930,14 +1040,119 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
+        self.step_done = step
 
+    def _device_loop(self):
+        """Fully on-device training for pure-JAX envs: chunks of the whole
+        act/step/append/update cycle run as single XLA programs (lax.scan),
+        with host involvement only at metric/eval/checkpoint boundaries.
+        Chunk lengths are quantized to powers of two to bound the number of
+        compiled (n_iters, updates_per_iter) variants."""
+        cfg = self.cfg
+        N = cfg.num_envs
+        interval = cfg.training.interval
+        assert N % interval == 0 or interval >= N, (
+            f"num_envs {N} must be compatible with training.interval {interval}"
+        )
+        upi_steady = max(N // interval, 1) if interval <= N else 1
+        env_state = self.env.venv.reset(jax.random.key(cfg.seed))
+        train_return = np.zeros(N)
+        evals_done = self.start_step // cfg.evaluation.interval
+        logs_done = 0
+        checks_done = (
+            self.start_step // cfg.checkpointing.interval
+            if cfg.checkpointing.interval > 0
+            else 0
+        )
+        step = self.start_step
+        base_key = self.key
+
+        # One steady-state chunk size (single compile per updates_per_iter
+        # variant); metric/eval/checkpoint cadences tolerate overshoot the
+        # same way the host loop does (step // interval > done). Only
+        # training.start and the end of training clip a chunk.
+        cadences = [] if cfg.check_time_usage else [cfg.evaluation.interval]
+        if cfg.logging.interval > 0:
+            cadences.append(cfg.logging.interval)
+        if cfg.checkpointing.interval > 0:
+            cadences.append(cfg.checkpointing.interval)
+        base_iters = min(max(1, min(cadences) // N) if cadences else 1024, 1024)
+        steady = 1 << (base_iters.bit_length() - 1)  # pow2 <= base_iters
+
+        while step < cfg.steps:
+            limit = cfg.training.start if step < cfg.training.start else cfg.steps
+            want = min(steady, max(1, -(-(limit - step) // N)))
+            n_iters = 1 << (want.bit_length() - 1)  # pow2 <= want
+            upi = upi_steady if step >= cfg.training.start else 0
+            self.state, env_state, rewards, dones, aux = self._scan_chunk(
+                self.state,
+                env_state,
+                base_key,
+                jnp.asarray(step, jnp.int32),
+                n_iters=n_iters,
+                updates_per_iter=upi,
+            )
+            rewards = np.asarray(rewards)  # (n_iters, N)
+            dones = np.asarray(dones)
+            for i in range(n_iters):
+                train_return += rewards[i]
+                for e in np.flatnonzero(dones[i]):
+                    self.metrics["train_steps"].append(step + (i + 1) * N)
+                    self.metrics["train_returns"].append([float(train_return[e])])
+                    train_return[e] = 0.0
+            step += n_iters * N
+
+            if (
+                upi > 0
+                and cfg.logging.interval > 0
+                and step // cfg.logging.interval > logs_done
+            ):
+                logs_done = step // cfg.logging.interval
+                self.metrics["update_steps"].append(step)
+                self.metrics["predicted_rewards"].append(
+                    np.asarray(aux["predicted_rewards"]).tolist()
+                )
+                self.metrics["alphas"].append(float(aux["alphas"]))
+                self.metrics["entropies"].append(np.asarray(aux["entropies"]).tolist())
+                self.metrics["Q_values"].append(np.asarray(aux["Q_values"]).tolist())
+
+            if (
+                step // cfg.evaluation.interval > evals_done
+                and not cfg.check_time_usage
+            ):
+                evals_done = step // cfg.evaluation.interval
+                self._record_eval(step)
+
+            if (
+                cfg.checkpointing.interval > 0
+                and step // cfg.checkpointing.interval > checks_done
+            ):
+                checks_done = step // cfg.checkpointing.interval
+                self._checkpoint(step)
+
+        self.step_done = step
+
+    def _finish(self):
+        cfg = self.cfg
         # The hot loop donated self.state each iteration, deleting the buffers
         # any pre-loop alias (self.expert) pointed at; re-sync from live state.
         self.expert = self.state["expert"]
 
-        if cfg.check_time_usage:
-            self.metrics["training_time"] = time.time() - start_time
-            self._record_eval(step)
+        if cfg.render and cfg.env_backend != "jax":
+            from iltpu.envs.host import render_rollout
+
+            params = self.state["sac"].actor_params
+            greedy = lambda o: np.asarray(self._greedy(params, jnp.asarray(o)))
+            try:
+                render_rollout(
+                    cfg.env,
+                    greedy,
+                    os.path.join(self.out_dir, self.prefix + "rollout.npz"),
+                    absorbing=cfg.imitation.absorbing,
+                    seed=cfg.seed + 39916801,
+                )
+            except Exception as e:  # headless hosts without EGL etc.
+                print(f"render skipped: {e}")
 
         if cfg.save_trajectories and cfg.env_backend != "jax":
             params = self.state["sac"].actor_params

@@ -1,0 +1,108 @@
+#!/usr/bin/env python
+"""Generate expert demonstration data in the D4RL transition format.
+
+The reference consumes D4RL `expert-v2` datasets downloaded by the d4rl
+package (`environments.py:23`); with no network egress this script produces
+the equivalent: train a SAC expert with this framework, then roll out greedy
+episodes and save `{observations, actions, rewards, next_observations,
+terminals, timeouts}` as an .npz consumable via
+`expert_data.source=<path>.npz`.
+
+Usage:
+  python scripts/generate_expert_data.py --env hopper --steps 1000000 \
+      --episodes 25 --out data/hopper_expert.npz
+  # quick smoke: --steps 5000 --episodes 3
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--env", required=True)
+    p.add_argument("--steps", type=int, default=1_000_000)
+    p.add_argument("--episodes", type=int, default=25)
+    p.add_argument("--out", required=True)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--num-envs", type=int, default=8)
+    p.add_argument("--env-backend", default="auto")
+    p.add_argument("--platform", default=None, help="pin jax backend (tpu|cpu)")
+    args = p.parse_args(argv)
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    import jax.numpy as jnp
+
+    from iltpu.config import load_config
+    from iltpu.trainer import Trainer
+
+    cfg = load_config(
+        [
+            "algorithm=SAC",
+            f"env={args.env}",
+            f"env_backend={args.env_backend}",
+            f"seed={args.seed}",
+            f"num_envs={args.num_envs}",
+            f"steps={args.steps}",
+            "logging.interval=0",
+            f"evaluation.interval={max(args.steps // 10, 1)}",
+            "evaluation.episodes=5",
+            "imitation.absorbing=false",  # raw obs; wrapping happens at load
+            "expert_data.source=synthetic",
+            "imitation.trajectories=1",
+        ]
+    )
+    out_dir = os.path.join(os.path.dirname(args.out) or ".", "expert_training")
+    os.makedirs(out_dir, exist_ok=True)
+    trainer = Trainer(cfg, out_dir)
+    score = trainer.run()
+    print(f"expert trained: mean normalized score {score:.3f}")
+
+    # Greedy rollouts -> flat transition arrays with episode boundaries.
+    params = trainer.state["sac"].actor_params
+    greedy = jax.jit(trainer.actor.greedy_action)
+    from iltpu.trainer import _make_env
+
+    env = _make_env(cfg, 1, args.seed + 7_654_321)
+    cols = {k: [] for k in (
+        "observations", "actions", "rewards", "next_observations",
+        "terminals", "timeouts",
+    )}
+    for ep in range(args.episodes):
+        obs = env.reset(args.seed + 1000 + ep)
+        done = False
+        ep_ret = 0.0
+        while not done:
+            action = np.asarray(greedy(params, jnp.asarray(obs)))
+            next_obs, r, term, to, obs_after = env.step(action)
+            cols["observations"].append(obs[0])
+            cols["actions"].append(action[0])
+            cols["rewards"].append(float(r[0]))
+            cols["next_observations"].append(next_obs[0])
+            cols["terminals"].append(float(term[0]))
+            cols["timeouts"].append(float(to[0]))
+            ep_ret += float(r[0])
+            done = bool(term[0] or to[0])
+            obs = obs_after
+        print(f"episode {ep}: return {ep_ret:.1f}")
+    env.close()
+
+    arrays = {k: np.asarray(v, np.float32) for k, v in cols.items()}
+    os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
+    np.savez_compressed(args.out, **arrays)
+    print(f"wrote {args.out}: {arrays['observations'].shape[0]} transitions, "
+          f"{args.episodes} episodes")
+    return args.out
+
+
+if __name__ == "__main__":
+    main()

@@ -162,3 +162,23 @@ def test_jax_env_action_clipping():
     np.testing.assert_allclose(
         np.asarray(out1.next_obs), np.asarray(out2.next_obs)
     )
+
+
+def test_render_rollout_writes_frames(tmp_path):
+    import numpy as np
+    import pytest
+
+    from iltpu.envs.host import render_rollout
+
+    out = str(tmp_path / "roll.npz")
+    try:
+        n = render_rollout(
+            "hopper",
+            lambda o: np.zeros((1, 3), np.float32),
+            out,
+            max_frames=3,
+        )
+    except Exception as e:
+        pytest.skip(f"no offscreen GL available: {e}")
+    frames = np.load(out)["frames"]
+    assert frames.shape[0] == n and frames.ndim == 4 and frames.dtype == np.uint8

@@ -129,3 +129,8 @@ def test_mujoco_backend_smoke(tmp_path):
         ]
     )
     assert np.isfinite(train(cfg, str(tmp_path)))
+
+
+def test_pipeline_mode_runs(tmp_path):
+    cfg = _cfg("algorithm=GAIL", "training.pipeline=true")
+    assert np.isfinite(train(cfg, str(tmp_path)))

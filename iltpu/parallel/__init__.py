@@ -4,10 +4,13 @@ from iltpu.parallel.data import (
     make_mesh,
     replicated_sharding,
 )
+from iltpu.parallel.multihost import initialize_multihost, process_allreduce_mean
 
 __all__ = [
     "make_mesh",
     "batch_sharding",
     "replicated_sharding",
     "constrain_batch",
+    "initialize_multihost",
+    "process_allreduce_mean",
 ]

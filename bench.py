@@ -10,9 +10,10 @@ via a warmup phase sharing the in-process jit cache).
 this host (bench_baseline.json; the reference publishes no throughput
 numbers — BASELINE.md). Prints ONE JSON line.
 
-Env knobs: BENCH_STEPS (default 4000), BENCH_WARMUP (800), BENCH_NUM_ENVS
-(default 16 batched envs; 1 = reference-parity serial acting — either way
-the 1 update : 1 env-step ratio is preserved), BENCH_PLATFORM (pin jax
+Env knobs: BENCH_NUM_ENVS (default 512 batched envs — the measured
+throughput knee on a v5e chip; 1 = reference-parity serial acting — either
+way the 1 update : 1 env-step ratio is preserved), BENCH_STEPS /
+BENCH_WARMUP (scale with num_envs by default), BENCH_PLATFORM (pin jax
 backend), BENCH_ENV_BACKEND (default auto: in-repo C++ stepper when
 buildable, else gymnasium).
 """
@@ -38,9 +39,11 @@ def main():
     from iltpu.config import load_config
     from iltpu.trainer import Trainer
 
-    steps = int(os.environ.get("BENCH_STEPS", 4000))
-    warmup = int(os.environ.get("BENCH_WARMUP", 800))
-    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 16))
+    num_envs = int(os.environ.get("BENCH_NUM_ENVS", 512))
+    # Defaults scale with the env batch so the measured window covers a
+    # few hundred fused iterations past warmup at any num_envs.
+    steps = int(os.environ.get("BENCH_STEPS", max(4000, 120 * num_envs)))
+    warmup = int(os.environ.get("BENCH_WARMUP", max(800, 32 * num_envs)))
     env_backend = os.environ.get("BENCH_ENV_BACKEND", "auto")
     # Pipelined acting (device updates overlap env stepping; params stale by
     # one iteration) is the framework's intended production mode.

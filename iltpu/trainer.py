@@ -751,10 +751,21 @@ class Trainer:
             )
             self.state["disc"], self.state["disc_opt"] = red, opt
 
+    def _greedy_fn(self):
+        """Greedy-policy callable for host-driven loops. With
+        `evaluation.on_host` (default) the MLP forward runs in numpy from a
+        one-time params fetch — zero device round-trips inside eval/render
+        loops, which on a high-latency link otherwise dominate wall-clock."""
+        params = self.state["sac"].actor_params
+        if self.cfg.evaluation.get("on_host", True):
+            from iltpu.models.host_inference import host_greedy_fn
+
+            return host_greedy_fn(self.actor, params)
+        return lambda obs: np.asarray(self._greedy(params, jnp.asarray(obs)))
+
     def evaluate(self):
         cfg = self.cfg
-        params = self.state["sac"].actor_params
-        greedy = lambda obs: np.asarray(self._greedy(params, jnp.asarray(obs)))
+        greedy = self._greedy_fn()
         if cfg.env_backend == "jax":
             adapter = _JaxEnvAdapter(
                 cfg.env,
@@ -1141,8 +1152,7 @@ class Trainer:
         if cfg.render and cfg.env_backend != "jax":
             from iltpu.envs.host import render_rollout
 
-            params = self.state["sac"].actor_params
-            greedy = lambda o: np.asarray(self._greedy(params, jnp.asarray(o)))
+            greedy = self._greedy_fn()
             try:
                 render_rollout(
                     cfg.env,
@@ -1155,8 +1165,7 @@ class Trainer:
                 print(f"render skipped: {e}")
 
         if cfg.save_trajectories and cfg.env_backend != "jax":
-            params = self.state["sac"].actor_params
-            greedy = lambda o: np.asarray(self._greedy(params, jnp.asarray(o)))
+            greedy = self._greedy_fn()
             _, trajectories = evaluate_policy(
                 cfg.env,
                 greedy,

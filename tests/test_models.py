@@ -137,3 +137,22 @@ def test_twin_critic_and_polyak():
     expected = jax.tree.map(lambda t, p: 0.9 * t + 0.1 * p, target, moved)
     for g, e in zip(jax.tree.leaves(new_target), jax.tree.leaves(expected)):
         np.testing.assert_allclose(np.asarray(g), np.asarray(e), rtol=1e-6)
+
+
+def test_host_greedy_matches_device_greedy():
+    """numpy eval-path inference (host_inference.py) is exact vs the jitted
+    greedy_action for every supported activation."""
+    import numpy as np
+
+    from iltpu.models.host_inference import host_greedy_fn
+
+    for activation in ("relu", "tanh", "sigmoid"):
+        actor = SoftActor(11, 3, hidden_size=32, depth=2, activation=activation)
+        params = actor.init(jax.random.key(3))
+        obs = jax.random.normal(jax.random.key(4), (17, 11))
+        want = np.asarray(actor.greedy_action(params, obs))
+        got = host_greedy_fn(actor, params)(np.asarray(obs))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+        # single-observation (unbatched) convenience path
+        got1 = host_greedy_fn(actor, params)(np.asarray(obs)[0])
+        np.testing.assert_allclose(got1, want[0], rtol=1e-5, atol=1e-6)

@@ -3,8 +3,8 @@
 
 Runs the real pipeline — host MuJoCo hopper env, device-resident replay,
 fully-jitted GAIL discriminator + SAC update at the reference's 1:1
-step:update ratio — and reports steady-state env-steps/s (compile excluded
-via a warmup phase sharing the in-process jit cache).
+step:update ratio — and reports steady-state env-steps/s (trace/compile and
+warmup excluded via the training.timing_skip_steps window).
 
 `vs_baseline` compares against the reference's measured hot-loop rate on
 this host (bench_baseline.json; the reference publishes no throughput
@@ -20,7 +20,6 @@ buildable, else gymnasium).
 
 import json
 import os
-import time
 
 
 def main():
@@ -46,16 +45,23 @@ def main():
     warmup = int(os.environ.get("BENCH_WARMUP", max(800, 32 * num_envs)))
     env_backend = os.environ.get("BENCH_ENV_BACKEND", "auto")
     # Pipelined acting (device updates overlap env stepping; params stale by
-    # one iteration) is the framework's intended production mode.
+    # one iteration) is the framework's intended production mode. Host
+    # acting (numpy sampling from async-synced params) exists for hosts
+    # where link latency dominates; on THIS 2-core host it loses — the BLAS
+    # forward steals CPU from the physics threads (measured 5.2k vs 9.0k
+    # steps/s at 512 envs) — so it defaults off.
     pipeline = os.environ.get("BENCH_PIPELINE", "1") != "0"
+    host_acting = os.environ.get("BENCH_HOST_ACTING", "0") != "0"
 
-    def make(n_steps, seed):
+    def make(n_steps, seed, skip=0):
         cfg = load_config(
             [
                 "algorithm=GAIL",
                 "env=hopper",
                 f"env_backend={env_backend}",
                 f"training.pipeline={str(pipeline).lower()}",
+                f"training.host_acting={str(host_acting).lower()}",
+                f"training.timing_skip_steps={skip}",
                 f"seed={seed}",
                 f"num_envs={num_envs}",
                 f"steps={n_steps}",
@@ -71,16 +77,11 @@ def main():
         )
         return Trainer(cfg, out_dir="/tmp/iltpu_bench", file_prefix=f"s{seed}_")
 
-    # Warmup run populates the in-process jit cache (identical shapes).
-    make(warmup, seed=0).run()
-
-    trainer = make(steps, seed=1)
-    t0 = time.time()
+    # One run; the steady-state window [warmup, warmup+steps) excludes
+    # trace/compile-cache-load and warmup physics (training.timing_skip_steps).
+    trainer = make(warmup + steps, seed=1, skip=warmup)
     trainer.run()
-    elapsed = trainer.metrics["training_time"]  # excludes final eval
-    del t0
-
-    value = steps / elapsed
+    value = trainer.metrics["steady_env_steps"] / trainer.metrics["steady_time"]
     baseline_path = os.path.join(os.path.dirname(__file__), "bench_baseline.json")
     with open(baseline_path) as f:
         baseline = json.load(f)["reference_env_steps_per_s"]

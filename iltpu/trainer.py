@@ -326,6 +326,7 @@ class Trainer:
             Q_values=[],
         )
         self.score = []
+        self._log_queue = []
         self.start_step = 0
 
         if cfg.checkpointing.resume:
@@ -689,6 +690,33 @@ class Trainer:
         for i in range(iterations):
             yield replay_sample(self.expert, jax.random.fold_in(key, i), batch_size)
 
+    # Pretraining iterations per fused device call. A lax.scan traces the
+    # update body once, so compile time is chunk-size independent while the
+    # dispatch count drops from `iterations` (50k-100k in the reference
+    # configs, conf/algorithm/{BC,DRIL,RED}.yaml) to iterations/chunk — on a
+    # high-latency device link per-call overhead, not compute, dominates
+    # these loops.
+    PRETRAIN_CHUNK = 2000
+
+    def _run_pretrain_chunks(self, carry, step_one, iterations: int):
+        """Run `step_one(carry, i)` for i in [0, iterations) as chunked
+        on-device lax.scans over the expert buffer."""
+
+        def chunk_fn(carry, start, n):
+            def body(c, i):
+                return step_one(c, start + i), None
+
+            carry, _ = jax.lax.scan(body, carry, jnp.arange(n))
+            return carry
+
+        chunk_jit = jax.jit(chunk_fn, static_argnames=("n",), donate_argnums=(0,))
+        done = 0
+        while done < iterations:
+            n = min(self.PRETRAIN_CHUNK, iterations - done)
+            carry = chunk_jit(carry, jnp.asarray(done, jnp.int32), n)
+            done += n
+        return carry
+
     def bc_pretrain(self):
         """BC pretraining with a separate optimiser (train.py:93-98)."""
         cfg = self.cfg
@@ -697,34 +725,51 @@ class Trainer:
             weight_decay=cfg.bc_pretraining.weight_decay,
         )
         sac = self.state["sac"]
-        params = sac.actor_params
-        opt = optim.init(params)
+        B = cfg.training.batch_size
+        expert = self.expert
         self.key, k = jax.random.split(self.key)
-        step = jax.jit(
-            lambda p, o, t: behavioural_cloning_update(self.actor, p, o, optim, t)
+
+        def step_one(carry, i):
+            params, opt = carry
+            batch = replay_sample(expert, jax.random.fold_in(k, i), B)
+            params, opt, _ = behavioural_cloning_update(
+                self.actor, params, opt, optim, batch
+            )
+            return (params, opt)
+
+        params, _ = self._run_pretrain_chunks(
+            (sac.actor_params, optim.init(sac.actor_params)),
+            step_one,
+            cfg.bc_pretraining.iterations,
         )
-        for batch in self._expert_batches(
-            k, cfg.bc_pretraining.iterations, cfg.training.batch_size
-        ):
-            params, opt, _ = step(params, opt, batch)
         self.state["sac"] = sac.replace(actor_params=params)
 
     def pretrain_discriminator(self):
         """DRIL ensemble BC / RED predictor regression (train.py:115-128)."""
         cfg, alg = self.cfg, self.alg
         iters = cfg.imitation.pretraining.iterations
+        B = cfg.training.batch_size
+        expert = self.expert
         self.key, k, k2 = jax.random.split(self.key, 3)
         if alg == "DRIL":
-            step = jax.jit(
-                lambda p, o, t, r: behavioural_cloning_update(
-                    self.disc, p, o, self.disc_optim, t, rng=r, train_dropout=True
+
+            def step_one(carry, i):
+                params, opt = carry
+                batch = replay_sample(expert, jax.random.fold_in(k, i), B)
+                params, opt, _ = behavioural_cloning_update(
+                    self.disc,
+                    params,
+                    opt,
+                    self.disc_optim,
+                    batch,
+                    rng=jax.random.fold_in(k2, i),
+                    train_dropout=True,
                 )
+                return (params, opt)
+
+            params, opt = self._run_pretrain_chunks(
+                (self.state["disc"], self.state["disc_opt"]), step_one, iters
             )
-            params, opt = self.state["disc"], self.state["disc_opt"]
-            for i, batch in enumerate(
-                self._expert_batches(k, iters, cfg.training.batch_size)
-            ):
-                params, opt, _ = step(params, opt, batch, jax.random.fold_in(k2, i))
             self.state["disc"], self.state["disc_opt"] = params, opt
             self.state["dril_threshold"] = self.disc.uncertainty_threshold(
                 params,
@@ -734,18 +779,24 @@ class Trainer:
                 cfg.imitation.quantile_cutoff,
             )
         elif alg == "RED":
-            step = jax.jit(
-                lambda r, o, t, rk: target_estimation_update(
-                    self.disc, r, o, self.disc_optim, t, rng=rk
+
+            def step_one(carry, i):
+                red, opt = carry
+                batch = replay_sample(expert, jax.random.fold_in(k, i), B)
+                red, opt, _ = target_estimation_update(
+                    self.disc,
+                    red,
+                    opt,
+                    self.disc_optim,
+                    batch,
+                    rng=jax.random.fold_in(k2, i),
                 )
+                return (red, opt)
+
+            red, opt = self._run_pretrain_chunks(
+                (self.state["disc"], self.state["disc_opt"]), step_one, iters
             )
-            red, opt = self.state["disc"], self.state["disc_opt"]
-            for i, batch in enumerate(
-                self._expert_batches(k, iters, cfg.training.batch_size)
-            ):
-                red, opt, _ = step(red, opt, batch, jax.random.fold_in(k2, i))
             # sigma estimated on one minibatch (train.py:128)
-            B = cfg.training.batch_size
             red = self.disc.set_sigma(
                 red, self.expert.states[:B], self.expert.actions[:B]
             )
@@ -795,7 +846,33 @@ class Trainer:
             (np.asarray(returns) - self.norm_min) / (self.norm_max - self.norm_min)
         ).tolist()
 
+    _LOG_KEYS = ("predicted_rewards", "alphas", "entropies", "Q_values")
+
+    def _enqueue_log(self, step: int, aux):
+        """Capture update diagnostics without syncing: keep the device
+        arrays (they are jit outputs, never donated) and kick off async
+        device->host copies; `_flush_logs` materialises them later."""
+        entry = {k: aux[k] for k in self._LOG_KEYS}
+        for v in entry.values():
+            if hasattr(v, "copy_to_host_async"):
+                v.copy_to_host_async()
+        self._log_queue.append((step, entry))
+
+    def _flush_logs(self):
+        for step, entry in self._log_queue:
+            self.metrics["update_steps"].append(step)
+            self.metrics["predicted_rewards"].append(
+                np.asarray(entry["predicted_rewards"]).tolist()
+            )
+            self.metrics["alphas"].append(float(entry["alphas"]))
+            self.metrics["entropies"].append(
+                np.asarray(entry["entropies"]).tolist()
+            )
+            self.metrics["Q_values"].append(np.asarray(entry["Q_values"]).tolist())
+        self._log_queue.clear()
+
     def _record_eval(self, step: int):
+        self._flush_logs()
         test_returns = self.evaluate()
         normalized = self._normalized(test_returns)
         self.score.append(float(np.mean(normalized)))
@@ -846,6 +923,7 @@ class Trainer:
             pickle.dump(self.metrics, f)
 
     def _checkpoint(self, step: int):
+        self._flush_logs()
         save_checkpoint(
             os.path.join(self.out_dir, self.prefix + "checkpoint"),
             self.state,
@@ -935,18 +1013,36 @@ class Trainer:
         prof_stop = prof_start + int(prof.get("steps", 200))
         profiling = False
         pipeline = bool(cfg.training.get("pipeline", False))
+        host_act = bool(cfg.training.get("host_acting", False))
+        # Steady-state throughput window (benchmarks): timing from the first
+        # step >= skip excludes trace/compile-cache-load and warmup physics.
+        timing_skip = int(cfg.training.get("timing_skip_steps", 0) or 0)
+        steady_t0 = steady_step0 = None
 
         base_key = self.key  # per-step keys are fold_in(base, step) on device
-        # Bootstrap: first actions from the standalone acting program; every
-        # subsequent iteration gets its actions from the fused post_step call
-        # (ONE device round-trip per loop iteration — on the tunneled-TPU
-        # link the per-call latency, not compute, bounds throughput).
-        actions = self._interact(
-            self.state["sac"].actor_params,
-            base_key,
-            jnp.asarray(step, jnp.int32),
-            jnp.asarray(obs),
-        )
+        if host_act:
+            # Perf mode: numpy acting over async-synced params. No device
+            # round-trip anywhere on the acting path; params stale by one
+            # fused update program (same staleness as `pipeline`).
+            from iltpu.models.host_inference import HostActor
+
+            host_actor = HostActor(self.actor, self.state["sac"].actor_params)
+            act_rng = np.random.default_rng(
+                np.random.SeedSequence([cfg.seed, 0xAC7])
+            )
+            actions = host_actor.sample(obs, act_rng)
+        else:
+            # Bootstrap: first actions from the standalone acting program;
+            # every subsequent iteration gets its actions from the fused
+            # post_step call (ONE device round-trip per loop iteration — on
+            # the tunneled-TPU link the per-call latency, not compute,
+            # bounds throughput).
+            actions = self._interact(
+                self.state["sac"].actor_params,
+                base_key,
+                jnp.asarray(step, jnp.int32),
+                jnp.asarray(obs),
+            )
         while step < cfg.steps:
             if prof_dir and not profiling and step >= prof_start:
                 jax.profiler.start_trace(prof_dir)
@@ -990,7 +1086,17 @@ class Trainer:
                 ],
                 axis=1,
             )
-            if pipeline:
+            if host_act:
+                # refresh BEFORE the donating dispatch (see HostActor docs),
+                # then sample next actions on the host while the device
+                # chews on the update program — nothing below blocks.
+                host_actor.refresh()
+                self.state, aux, _ = self._post_step(
+                    self.state, base_key, jnp.asarray(packed), n_updates=n_updates
+                )
+                host_actor.start_sync(self.state["sac"].actor_params)
+                actions = host_actor.sample(obs_after, act_rng)
+            elif pipeline:
                 # Perf mode: dispatch next-step acting BEFORE the update
                 # program. The device executes them in queue order (acting
                 # reads the pre-update params, then the update donates the
@@ -1012,6 +1118,9 @@ class Trainer:
                 )
             step = new_step
             obs = obs_after
+            if steady_t0 is None and timing_skip and step >= timing_skip:
+                jax.block_until_ready(self.state["sac"].log_alpha)
+                steady_t0, steady_step0 = time.time(), step
 
             for i in np.flatnonzero(dones):
                 self.metrics["train_steps"].append(step)
@@ -1024,17 +1133,10 @@ class Trainer:
                     and step // cfg.logging.interval > logs_done
                 ):
                     logs_done = step // cfg.logging.interval
-                    self.metrics["update_steps"].append(step)
-                    self.metrics["predicted_rewards"].append(
-                        np.asarray(aux["predicted_rewards"]).tolist()
-                    )
-                    self.metrics["alphas"].append(float(aux["alphas"]))
-                    self.metrics["entropies"].append(
-                        np.asarray(aux["entropies"]).tolist()
-                    )
-                    self.metrics["Q_values"].append(
-                        np.asarray(aux["Q_values"]).tolist()
-                    )
+                    # Deferred: hold device handles + async d2h; materialise
+                    # at the next eval/checkpoint boundary instead of
+                    # blocking the hot loop on a round-trip per log.
+                    self._enqueue_log(step, aux)
 
             if (
                 step // cfg.evaluation.interval > evals_done
@@ -1051,6 +1153,10 @@ class Trainer:
 
         if profiling:
             jax.profiler.stop_trace()
+        if steady_t0 is not None:
+            jax.block_until_ready(self.state["sac"].log_alpha)
+            self.metrics["steady_env_steps"] = step - steady_step0
+            self.metrics["steady_time"] = time.time() - steady_t0
         self.step_done = step
 
     def _device_loop(self):
@@ -1145,6 +1251,7 @@ class Trainer:
 
     def _finish(self):
         cfg = self.cfg
+        self._flush_logs()
         # The hot loop donated self.state each iteration, deleting the buffers
         # any pre-loop alias (self.expert) pointed at; re-sync from live state.
         self.expert = self.state["expert"]

@@ -156,3 +156,35 @@ def test_host_greedy_matches_device_greedy():
         # single-observation (unbatched) convenience path
         got1 = host_greedy_fn(actor, params)(np.asarray(obs)[0])
         np.testing.assert_allclose(got1, want[0], rtol=1e-5, atol=1e-6)
+
+
+def test_host_actor_sampling_matches_policy_distribution():
+    """HostActor's numpy tanh-Gaussian matches the device policy: greedy is
+    exact, and sampled actions have the right conditional moments."""
+    import numpy as np
+
+    from iltpu.models.host_inference import HostActor
+
+    actor = SoftActor(6, 2, hidden_size=32, depth=2)
+    params = actor.init(jax.random.key(0))
+    host = HostActor(actor, params)
+
+    obs = jax.random.normal(jax.random.key(1), (5, 6))
+    np.testing.assert_allclose(
+        host.greedy(np.asarray(obs)),
+        np.asarray(actor.greedy_action(params, obs)),
+        rtol=1e-5,
+        atol=1e-6,
+    )
+
+    # Moment check: pre-tanh samples should have the policy's mean/std.
+    mean_d, log_std_d = actor.dist(params, obs)
+    rng = np.random.default_rng(0)
+    samples = np.stack([host.sample(np.asarray(obs), rng) for _ in range(4000)])
+    z = np.arctanh(np.clip(samples, -1 + 1e-7, 1 - 1e-7))
+    np.testing.assert_allclose(
+        z.mean(axis=0), np.asarray(mean_d), atol=4 * np.exp(np.asarray(log_std_d)).max() / 63
+    )
+    np.testing.assert_allclose(
+        z.std(axis=0), np.exp(np.asarray(log_std_d)), rtol=0.1
+    )

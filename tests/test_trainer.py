@@ -134,3 +134,23 @@ def test_mujoco_backend_smoke(tmp_path):
 def test_pipeline_mode_runs(tmp_path):
     cfg = _cfg("algorithm=GAIL", "training.pipeline=true")
     assert np.isfinite(train(cfg, str(tmp_path)))
+
+
+def test_host_acting_mode_runs(tmp_path):
+    """Perf mode: numpy acting over async-synced params (host_inference.py)
+    trains end-to-end and produces populated metrics."""
+    cfg = _cfg("algorithm=GAIL", "training.host_acting=true")
+    trainer = Trainer(cfg, str(tmp_path))
+    score = trainer.run()
+    assert np.isfinite(score)
+    assert trainer.metrics["update_steps"]  # deferred logs were flushed
+    assert trainer.metrics["Q_values"]
+
+
+def test_steady_state_timing_window(tmp_path):
+    """training.timing_skip_steps records steady_env_steps/steady_time."""
+    cfg = _cfg("algorithm=SAC", "training.timing_skip_steps=150")
+    trainer = Trainer(cfg, str(tmp_path))
+    trainer.run()
+    assert trainer.metrics["steady_env_steps"] == 150  # 300 total - 150 skip
+    assert trainer.metrics["steady_time"] > 0

@@ -34,21 +34,26 @@ class Critic:
 
 
 class TwinCritic:
+    """Two independent Q-networks (models.py:133-141) held as ONE stacked
+    params pytree: every leaf has a leading (2,) axis and `apply` vmaps over
+    it, so both critics run as single batched matmuls (half the op count,
+    double the MXU tile occupancy vs two separate networks)."""
+
     def __init__(self, state_size: int, action_size: int, **kwargs):
-        self.critic_1 = Critic(state_size, action_size, **kwargs)
-        self.critic_2 = Critic(state_size, action_size, **kwargs)
+        self.critic = Critic(state_size, action_size, **kwargs)
 
     def init(self, key: jax.Array) -> Params:
         k1, k2 = jax.random.split(key)
-        return {"q1": self.critic_1.init(k1), "q2": self.critic_2.init(k2)}
+        p1, p2 = self.critic.init(k1), self.critic.init(k2)
+        return jax.tree.map(lambda a, b: jnp.stack([a, b]), p1, p2)
 
     def apply(
         self, params: Params, state: jax.Array, action: jax.Array
     ) -> Tuple[jax.Array, jax.Array]:
-        return (
-            self.critic_1.apply(params["q1"], state, action),
-            self.critic_2.apply(params["q2"], state, action),
+        qs = jax.vmap(self.critic.apply, in_axes=(0, None, None))(
+            params, state, action
         )
+        return qs[0], qs[1]
 
 
 def create_target_params(params: Params) -> Params:

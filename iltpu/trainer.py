@@ -237,8 +237,10 @@ class Trainer:
                 discount=rcfg.discount,
             )
             self.key, k = jax.random.split(self.key)
-            self.disc_optim = optax.adamw(
-                icfg.learning_rate, weight_decay=icfg.weight_decay
+            # optax.flatten: run the Adam math on ONE flat vector instead
+            # of per-leaf ops (the update scan is op-overhead-bound on TPU).
+            self.disc_optim = optax.flatten(
+                optax.adamw(icfg.learning_rate, weight_decay=icfg.weight_decay)
             )
             state["disc"] = self.disc.init(k)
             state["disc_opt"] = self.disc_optim.init(state["disc"])
@@ -262,8 +264,10 @@ class Trainer:
                 dropout=d.dropout,
             )
             self.key, k = jax.random.split(self.key)
-            self.disc_optim = optax.adamw(
-                icfg.learning_rate, weight_decay=icfg.weight_decay
+            # optax.flatten: run the Adam math on ONE flat vector instead
+            # of per-leaf ops (the update scan is op-overhead-bound on TPU).
+            self.disc_optim = optax.flatten(
+                optax.adamw(icfg.learning_rate, weight_decay=icfg.weight_decay)
             )
             state["disc"] = self.disc.init(k)
             state["disc_opt"] = self.disc_optim.init(state["disc"])
@@ -282,8 +286,10 @@ class Trainer:
                 reward_bandwidth_scale=icfg.reward_bandwidth_scale,
             )
             self.key, k = jax.random.split(self.key)
-            self.disc_optim = optax.adamw(
-                icfg.learning_rate, weight_decay=icfg.weight_decay
+            # optax.flatten: run the Adam math on ONE flat vector instead
+            # of per-leaf ops (the update scan is op-overhead-bound on TPU).
+            self.disc_optim = optax.flatten(
+                optax.adamw(icfg.learning_rate, weight_decay=icfg.weight_decay)
             )
             state["disc"] = self.disc.init(k)
             state["disc_opt"] = self.disc_optim.init(state["disc"].predictor)
@@ -404,10 +410,15 @@ class Trainer:
 
             self._pwil_relabel_expert = jax.jit(pwil_relabel_expert)
 
-        def update_fn(state, key, step):
+        def update_fn(state, key, step, transitions=None, expert_transitions=None):
             k_s, k_e, k_disc, k_rew, k_bc, k_sac = jax.random.split(key, 6)
-            transitions = replay_sample(state["replay"], k_s, B)
-            expert_transitions = replay_sample(state["expert"], k_e, B)
+            # Batches may be pre-sampled in bulk by the caller (the update
+            # scan hoists all its gathers into one, see transition_core);
+            # standalone calls sample here.
+            if transitions is None:
+                transitions = replay_sample(state["replay"], k_s, B)
+            if expert_transitions is None:
+                expert_transitions = replay_sample(state["expert"], k_e, B)
             if self.mesh is not None:
                 transitions = constrain_batch(transitions, self.mesh, data_axis)
                 expert_transitions = constrain_batch(
@@ -576,11 +587,28 @@ class Trainer:
                         jax.random.fold_in(base_key, 0x5AC + i), step
                     )
                 )(jnp.arange(n_updates))
+                # Hoist the replay gathers: ONE bulk sample for all updates
+                # this iteration instead of 2x8 gathers per scan step (the
+                # ring contents don't change inside the scan — all appends
+                # happened above — so the distribution is identical).
+                kb = jax.random.fold_in(base_key, step + 0xB17C)
+                kp, ke = jax.random.split(kb)
+                batches = jax.tree.map(
+                    lambda x: x.reshape((n_updates, B) + x.shape[1:]),
+                    replay_sample(state["replay"], kp, n_updates * B),
+                )
+                expert_batches = jax.tree.map(
+                    lambda x: x.reshape((n_updates, B) + x.shape[1:]),
+                    replay_sample(state["expert"], ke, n_updates * B),
+                )
 
-                def one_update(s, k):
-                    return update_fn(s, k, step.astype(jnp.float32))
+                def one_update(s, xs):
+                    k, tb, eb = xs
+                    return update_fn(s, k, step.astype(jnp.float32), tb, eb)
 
-                state, upd_aux = jax.lax.scan(one_update, state, keys)
+                state, upd_aux = jax.lax.scan(
+                    one_update, state, (keys, batches, expert_batches)
+                )
                 aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
             return state, aux
 
@@ -720,9 +748,11 @@ class Trainer:
     def bc_pretrain(self):
         """BC pretraining with a separate optimiser (train.py:93-98)."""
         cfg = self.cfg
-        optim = optax.adamw(
-            cfg.bc_pretraining.learning_rate,
-            weight_decay=cfg.bc_pretraining.weight_decay,
+        optim = optax.flatten(
+            optax.adamw(
+                cfg.bc_pretraining.learning_rate,
+                weight_decay=cfg.bc_pretraining.weight_decay,
+            )
         )
         sac = self.state["sac"]
         B = cfg.training.batch_size

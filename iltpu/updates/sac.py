@@ -57,9 +57,16 @@ class SACLearner:
         self.entropy_target = entropy_target
         self.polyak_factor = polyak_factor
         # torch AdamW parity for actor/critic, plain Adam for the temperature
-        # (train.py:66).
-        self.actor_optim = optax.adamw(learning_rate, weight_decay=weight_decay)
-        self.critic_optim = optax.adamw(learning_rate, weight_decay=weight_decay)
+        # (train.py:66). optax.flatten runs the elementwise Adam math on one
+        # flat vector per optimiser instead of per-leaf ops — the update is
+        # op-overhead-bound on TPU, and AdamW is elementwise so the math is
+        # unchanged.
+        self.actor_optim = optax.flatten(
+            optax.adamw(learning_rate, weight_decay=weight_decay)
+        )
+        self.critic_optim = optax.flatten(
+            optax.adamw(learning_rate, weight_decay=weight_decay)
+        )
         self.alpha_optim = optax.adam(learning_rate)
 
     def init(self, key: jax.Array) -> SACState:

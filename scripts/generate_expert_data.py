@@ -40,8 +40,6 @@ def main(argv=None):
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
 
-    import jax.numpy as jnp
-
     from iltpu.config import load_config
     from iltpu.trainer import Trainer
 
@@ -68,9 +66,11 @@ def main(argv=None):
     print(f"expert trained: mean normalized score {score:.3f}")
 
     # Greedy rollouts -> flat transition arrays with episode boundaries.
-    params = trainer.state["sac"].actor_params
-    greedy = jax.jit(trainer.actor.greedy_action)
+    # Host-side inference: one params fetch, zero device calls per step.
+    from iltpu.models.host_inference import host_greedy_fn
     from iltpu.trainer import _make_env
+
+    host_greedy = host_greedy_fn(trainer.actor, trainer.state["sac"].actor_params)
 
     env = _make_env(cfg, 1, args.seed + 7_654_321)
     cols = {k: [] for k in (
@@ -82,7 +82,7 @@ def main(argv=None):
         done = False
         ep_ret = 0.0
         while not done:
-            action = np.asarray(greedy(params, jnp.asarray(obs)))
+            action = host_greedy(np.asarray(obs))
             next_obs, r, term, to, obs_after = env.step(action)
             cols["observations"].append(obs[0])
             cols["actions"].append(action[0])

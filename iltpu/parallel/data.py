@@ -58,3 +58,26 @@ def constrain_batch(batch: Any, mesh: Mesh, axis: str = "data") -> Any:
         return x
 
     return jax.tree.map(constrain, batch)
+
+
+def param_shardings(mesh: Mesh, params: Any, axis: str = "data") -> Any:
+    """Tensor-parallel sharding specs for a params pytree.
+
+    The reference has no TP and these MLPs (≤256 wide) don't need it
+    (SURVEY.md §2.3), but the rules are exposed anyway: every weight with
+    ndim >= 2 shards its LAST axis over `axis` (the Megatron column-parallel
+    analogue for MLP hidden dims) when it divides the mesh; everything else
+    (biases, optimiser scalars, flat optimiser vectors) replicates. Annotate
+    the initial params with `jax.device_put(params, param_shardings(...))`
+    and GSPMD propagates the layout through the jitted update, inserting the
+    collectives.
+    """
+    n = mesh.shape[axis]
+
+    def spec(leaf):
+        ndim = getattr(leaf, "ndim", 0)
+        if ndim >= 2 and leaf.shape[-1] % n == 0 and leaf.shape[-1] >= n:
+            return NamedSharding(mesh, P(*([None] * (ndim - 1)), axis))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(spec, params)

@@ -317,6 +317,16 @@ class Trainer:
 
         self.state = state
         self._build_jit_fns()
+        if self.mesh is not None and cfg.parallel.get("shard_params", False):
+            # Opt-in tensor-parallel layout (SURVEY.md §2.3: not needed at
+            # these widths, rules exposed anyway): weights shard their last
+            # axis over the mesh; GSPMD propagates through the update.
+            from iltpu.parallel import param_shardings
+
+            self.state = jax.device_put(
+                self.state,
+                param_shardings(self.mesh, self.state, cfg.parallel.data_axis),
+            )
 
         # --- Metrics (train.py:86-88) --------------------------------------
         self.metrics = dict(

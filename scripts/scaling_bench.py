@@ -113,7 +113,18 @@ def main(argv=None):
             r["devices"]: round(r["samples_per_s"] / (base * r["devices"]), 3)
             for r in results[1:]
         }
-        print(json.dumps({"weak_scaling_efficiency": eff}))
+        summary = {"weak_scaling_efficiency": eff}
+        n_cores = os.cpu_count() or 1
+        if jax.devices()[0].platform == "cpu" and len(jax.devices()) > n_cores:
+            # N virtual devices timeshare n_cores real cores, so wall-clock
+            # "efficiency" is bounded by n_cores/N regardless of collective
+            # cost — this run validates the sharding/psum paths, not speed.
+            summary["note"] = (
+                f"virtual CPU mesh ({len(jax.devices())} devices on "
+                f"{n_cores} cores): efficiency is core-oversubscription-"
+                "bound; meaningful scaling numbers require real chips"
+            )
+        print(json.dumps(summary))
     return results
 
 

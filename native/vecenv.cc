@@ -206,9 +206,10 @@ void step_env(VecEnv* v, int i) {
     ctrl_cost += a * a;
   }
   for (int s = 0; s < v->frame_skip; s++) mj_step(v->model, d);
-  // Gym computes cfrc_ext-dependent quantities post-step
-  // (mujoco_env.py:147-151).
-  mj_rnePostConstraint(v->model, d);
+  // Gym recomputes cfrc_ext post-step (mujoco_env.py:147-151); only ant
+  // reads it (obs + contact cost), and it writes no dynamic state, so
+  // skipping it elsewhere preserves exact trajectory parity.
+  if (v->type == ANT) mj_rnePostConstraint(v->model, d);
 
   double x_after = (v->type == ANT) ? d->xpos[3 * v->torso_body] : d->qpos[0];
   double x_velocity = (x_after - x_before) / dt;
@@ -308,11 +309,13 @@ void* vecenv_create(const char* xml_path, int env_type, int n_envs,
     v->envs[i].data = mj_makeData(model);
     v->envs[i].rng.seed(seed + (uint64_t)i * 0x9E3779B97F4A7C15ull);
   }
-  int n_workers = (int)std::thread::hardware_concurrency();
-  if (n_workers > n_envs) n_workers = n_envs;
-  if (n_workers < 1) n_workers = 1;
-  for (int w = 0; w < n_workers; w++)
-    v->workers.emplace_back(worker_loop, v, w, n_workers);
+  // Participants = spawned workers + the calling thread (which steps its
+  // own slice in vecenv_step), so spawn hardware_concurrency - 1 threads.
+  int participants = (int)std::thread::hardware_concurrency();
+  if (participants > n_envs) participants = n_envs;
+  if (participants < 1) participants = 1;
+  for (int w = 0; w < participants - 1; w++)
+    v->workers.emplace_back(worker_loop, v, w, participants);
   return v;
 }
 
@@ -360,6 +363,11 @@ void vecenv_step(void* h, const float* actions, float* next_obs,
     v->generation++;
   }
   v->cv_work.notify_all();
+  // The caller works its own slice instead of sleeping on the barrier —
+  // on small hosts the calling core is a meaningful fraction of the
+  // machine (participants = spawned workers + this thread).
+  const int stride = (int)v->workers.size() + 1;
+  for (int i = stride - 1; i < v->n_envs; i += stride) step_env(v, i);
   {
     std::unique_lock<std::mutex> lk(v->mu);
     v->cv_done.wait(lk, [&] { return v->pending == 0; });

@@ -52,6 +52,7 @@ def main():
     # steps/s at 512 envs) — so it defaults off.
     pipeline = os.environ.get("BENCH_PIPELINE", "1") != "0"
     host_acting = os.environ.get("BENCH_HOST_ACTING", "0") != "0"
+    prng = os.environ.get("BENCH_PRNG", "rbg")  # hardware RNG: perf mode
 
     def make(n_steps, seed, skip=0):
         cfg = load_config(
@@ -62,6 +63,7 @@ def main():
                 f"training.pipeline={str(pipeline).lower()}",
                 f"training.host_acting={str(host_acting).lower()}",
                 f"training.timing_skip_steps={skip}",
+                f"prng={prng}",
                 f"seed={seed}",
                 f"num_envs={num_envs}",
                 f"steps={n_steps}",

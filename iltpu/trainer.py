@@ -161,6 +161,12 @@ class Trainer:
         os.makedirs(out_dir, exist_ok=True)
 
         np.random.seed(cfg.seed)
+        # PRNG implementation: 'rbg' swaps threefry's bit-twiddling op chains
+        # for the TPU hardware RNG instruction — the fused update scan is
+        # op-dispatch-bound, so per-update key derivation is a visible cost.
+        # Keys created here propagate their impl through every split/fold_in.
+        if cfg.get("prng", "threefry") != "threefry":
+            jax.config.update("jax_default_prng_impl", cfg.prng)
         self.key = jax.random.key(cfg.seed)
         alg = cfg.algorithm
         self.alg = alg

@@ -39,7 +39,8 @@ def load_results():
 
 
 def cell_key(row):
-    return (row["algorithm"], row["env"], row["trajectories"], row["seed"])
+    return (row["algorithm"], row["env"], row["trajectories"], row["seed"],
+            bool(row.get("tuned", False)))
 
 
 def render_md(rows):
@@ -53,14 +54,16 @@ def render_md(rows):
         "runs are the parity evidence for this framework. Produced by",
         "`scripts/validate_learning.py`; raw rows in RESULTS.jsonl.",
         "",
-        "| algorithm | env | traj | seed | steps | run-avg score |"
+        "| algorithm | env | traj | seed | tuned | steps | run-avg score |"
         " end-of-training | best | out_dir |",
-        "|---|---|---|---|---|---|---|---|---|",
+        "|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in sorted(rows, key=cell_key):
         lines.append(
-            "| {algorithm} | {env} | {trajectories} | {seed} | {steps} |"
+            "| {algorithm} | {env} | {trajectories} | {seed} | {tuned} |"
+            " {steps} |"
             " {final:.3f} | {last:.3f} | {best:.3f} | {out_dir} |".format(
+                tuned="yes" if r.get("tuned") else "no",
                 final=r["final_normalized_score"],
                 last=r.get("last_normalized_score",
                            r["final_normalized_score"]),
@@ -113,7 +116,7 @@ def main(argv=None):
 
     for alg in args.algorithms.split(","):
         for env in args.envs.split(","):
-            key = (alg, env, args.trajectories, args.seed)
+            key = (alg, env, args.trajectories, args.seed, bool(args.tuned))
             if key in done and not args.rerun:
                 print(f"skip {key} (already in RESULTS.jsonl)")
                 continue

@@ -63,12 +63,14 @@ def render_md(rows):
             "| {algorithm} | {env} | {trajectories} | {seed} | {tuned} |"
             " {steps} |"
             " {final:.3f} | {last:.3f} | {best:.3f} | {out_dir} |".format(
-                tuned="yes" if r.get("tuned") else "no",
-                final=r["final_normalized_score"],
-                last=r.get("last_normalized_score",
-                           r["final_normalized_score"]),
-                best=r["best_normalized_score"],
-                **r,
+                **{
+                    **r,
+                    "tuned": "yes" if r.get("tuned") else "no",
+                    "final": r["final_normalized_score"],
+                    "last": r.get("last_normalized_score",
+                                  r["final_normalized_score"]),
+                    "best": r["best_normalized_score"],
+                }
             )
         )
     lines.append("")

@@ -47,10 +47,13 @@ def main():
     from iltpu.trainer import Trainer
 
     N = int(os.environ.get("BENCH_NUM_ENVS", 16))
+    alg = os.environ.get("BENCH_ALG", "GAIL")
+    env_backend = os.environ.get("BENCH_ENV_BACKEND", "auto")
     cfg = load_config(
         [
-            "algorithm=GAIL",
+            f"algorithm={alg}",
             "env=hopper",
+            f"env_backend={env_backend}",
             f"num_envs={N}",
             "steps=4000",
             "training.start=100",
@@ -116,6 +119,7 @@ def main():
     ) * 1e3
 
     out["num_envs"] = N
+    out["algorithm"] = alg
     out["platform"] = jax.devices()[0].platform
     print(json.dumps(out))
 

@@ -383,6 +383,18 @@ class Trainer:
                 p, jax.random.fold_in(base, step), s
             )[0]
         )
+        # Acting straight off the packed step buffer (pipeline mode): the
+        # post-reset observation lives in packed[:, -1-S:-1], so the hot
+        # loop ships ONE h2d buffer per iteration instead of re-sending
+        # obs_after separately (every extra transfer pays tunnel latency).
+        self._interact_packed = jax.jit(
+            lambda p, base, step, packed, S: actor.sample(
+                p,
+                jax.random.fold_in(base, step),
+                packed[:, -1 - S : -1],
+            )[0],
+            static_argnums=(4,),
+        )
         self._greedy = jax.jit(actor.greedy_action)
         self._append = jax.jit(replay_append_batch)
 
@@ -618,13 +630,30 @@ class Trainer:
                     replay_sample(state["expert"], ke, n_updates * B),
                 )
 
-                def one_update(s, xs):
-                    k, tb, eb = xs
-                    return update_fn(s, k, step.astype(jnp.float32), tb, eb)
+                # Narrow the scan carry to the keys update_fn can write
+                # (models/optimisers/relabel state). The replay and expert
+                # buffers (tens of MB) are read-only inside the update —
+                # batches were bulk-sampled above — so keep them as
+                # loop-invariant free variables rather than carried state,
+                # guaranteeing XLA never materialises a per-iteration copy.
+                invariant = {
+                    k2: state[k2] for k2 in ("replay", "expert") if k2 in state
+                }
+                carry0 = {
+                    k2: v for k2, v in state.items() if k2 not in invariant
+                }
 
-                state, upd_aux = jax.lax.scan(
-                    one_update, state, (keys, batches, expert_batches)
+                def one_update(c, xs):
+                    k, tb, eb = xs
+                    full, up_aux = update_fn(
+                        {**invariant, **c}, k, step.astype(jnp.float32), tb, eb
+                    )
+                    return {k2: full[k2] for k2 in c}, up_aux
+
+                carry, upd_aux = jax.lax.scan(
+                    one_update, carry0, (keys, batches, expert_batches)
                 )
+                state.update(carry)
                 aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
             return state, aux
 
@@ -1148,15 +1177,18 @@ class Trainer:
                 # reads the pre-update params, then the update donates the
                 # state), so the actions d2h transfer and the host env step
                 # overlap with the update's device time. Acting params are
-                # stale by this iteration's updates.
-                actions = self._interact(
+                # stale by this iteration's updates. The packed buffer is
+                # shipped ONCE and both programs read it on device.
+                packed_dev = jax.device_put(packed)
+                actions = self._interact_packed(
                     self.state["sac"].actor_params,
                     base_key,
                     jnp.asarray(new_step, jnp.int32),
-                    jnp.asarray(obs_after),
+                    packed_dev,
+                    self.state_size,
                 )
                 self.state, aux, _ = self._post_step(
-                    self.state, base_key, jnp.asarray(packed), n_updates=n_updates
+                    self.state, base_key, packed_dev, n_updates=n_updates
                 )
             else:
                 self.state, aux, actions = self._post_step(

@@ -98,9 +98,25 @@ class SACLearner:
         absorbing = transitions["absorbing"]
         alpha = jnp.exp(state.log_alpha)[0]
 
-        # --- TD target (no-grad region; training.py:19-25) ------------------
+        # --- Shared actor forward ------------------------------------------
+        # The TD target needs pi(s') (no grad) and the actor loss needs
+        # pi(s) (grad w.r.t. actor params); both use the SAME pre-update
+        # params, so run ONE batched forward over concat([s', s]) under
+        # jax.vjp. The update is op-latency-bound on TPU (tiny matmuls), so
+        # halving the number of MLP chains matters more than the extra rows.
+        # Exactness: the s' half receives zero cotangents, so actor grads
+        # equal the separate-forward formulation (tests/test_updates.py
+        # checks equivalence against the naive two-pass version).
         k_next, k_new = jax.random.split(key)
-        next_mean, next_log_std = self.actor.dist(state.actor_params, s2)
+        batch = s.shape[0]
+        s_all = jnp.concatenate([s2, s], axis=0)
+        (mean_all, ls_all), dist_vjp = jax.vjp(
+            lambda p: self.actor.dist(p, s_all), state.actor_params
+        )
+        next_mean, mean = mean_all[:batch], mean_all[batch:]
+        next_log_std, log_std = ls_all[:batch], ls_all[batch:]
+
+        # --- TD target (no-grad region; training.py:19-25) ------------------
         z2 = D.sample_pretanh(k_next, next_mean, next_log_std)
         next_action = jnp.tanh(z2)
         next_log_prob = D.log_prob_from_pretanh(next_mean, next_log_std, z2)
@@ -125,38 +141,45 @@ class SACLearner:
         )
         critic_params = optax.apply_updates(state.critic_params, critic_updates)
 
-        # --- Actor step against the updated critic (training.py:33-42) ------
-        def actor_loss_fn(actor_params):
-            mean, log_std = self.actor.dist(actor_params, s)
-            z = D.sample_pretanh(k_new, mean, log_std)
+        # --- Actor + temperature losses, ONE backward -----------------------
+        # Actor loss against the *updated* critic (training.py:33-42) and the
+        # temperature loss (training.py:44-49) share a single reverse pass:
+        # the actor term uses stop_gradient(alpha) and the temperature term
+        # uses stop_gradient(log_prob), so the joint gradient w.r.t.
+        # (mean, log_std, log_alpha) decomposes exactly into the reference's
+        # two separate steps. Note the temperature grad uses the PRE-update
+        # log_alpha variable, as in the reference sequencing.
+        def head_loss(mean_h, log_std_h, log_alpha):
+            z = D.sample_pretanh(k_new, mean_h, log_std_h)
             new_action = jnp.tanh(z)
-            log_prob = D.log_prob_from_pretanh(mean, log_std, z)
+            log_prob = D.log_prob_from_pretanh(mean_h, log_std_h, z)
             q1, q2 = self.critic.apply(critic_params, s, new_action)
             new_values = jnp.minimum(q1, q2)
-            loss = jnp.mean(
+            actor_loss = jnp.mean(
                 w * (1.0 - absorbing) * jax.lax.stop_gradient(alpha) * log_prob
                 - new_values
             )
-            return loss, log_prob
+            lp_detached = jax.lax.stop_gradient(log_prob)
+            a_ = jnp.exp(log_alpha)[0]
+            alpha_loss = -jnp.mean(
+                w * (1.0 - absorbing) * a_ * (lp_detached + self.entropy_target)
+            )
+            return actor_loss + alpha_loss, (actor_loss, lp_detached)
 
-        (actor_loss, new_log_probs), actor_grads = jax.value_and_grad(
-            actor_loss_fn, has_aux=True
-        )(state.actor_params)
+        (g_mean, g_log_std, alpha_grads), (actor_loss, lp_detached) = jax.grad(
+            head_loss, argnums=(0, 1, 2), has_aux=True
+        )(mean, log_std, state.log_alpha)
+        actor_grads = dist_vjp(
+            (
+                jnp.concatenate([jnp.zeros_like(g_mean), g_mean], axis=0),
+                jnp.concatenate([jnp.zeros_like(g_log_std), g_log_std], axis=0),
+            )
+        )[0]
         actor_updates, actor_opt = self.actor_optim.update(
             actor_grads, state.actor_opt, state.actor_params
         )
         actor_params = optax.apply_updates(state.actor_params, actor_updates)
 
-        # --- Temperature step (training.py:44-49) ---------------------------
-        lp_detached = jax.lax.stop_gradient(new_log_probs)
-
-        def alpha_loss_fn(log_alpha):
-            a_ = jnp.exp(log_alpha)[0]
-            return -jnp.mean(
-                w * (1.0 - absorbing) * a_ * (lp_detached + self.entropy_target)
-            )
-
-        alpha_grads = jax.grad(alpha_loss_fn)(state.log_alpha)
         alpha_updates, alpha_opt = self.alpha_optim.update(
             alpha_grads, state.alpha_opt, state.log_alpha
         )

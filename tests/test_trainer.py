@@ -154,3 +154,41 @@ def test_steady_state_timing_window(tmp_path):
     trainer.run()
     assert trainer.metrics["steady_env_steps"] == 150  # 300 total - 150 skip
     assert trainer.metrics["steady_time"] > 0
+
+
+def test_interact_packed_matches_interact(tmp_path):
+    """Pipeline mode acts straight off the packed step buffer; the
+    obs_after column slice must select exactly what _interact would get."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg = _cfg("algorithm=SAC", "num_envs=4")
+    t = Trainer(cfg, str(tmp_path))
+    N, S, A = 4, t.state_size, t.action_size
+    rng = np.random.default_rng(0)
+    obs = rng.normal(size=(N, S)).astype(np.float32)
+    obs_after = rng.normal(size=(N, S)).astype(np.float32)
+    packed = np.concatenate(
+        [
+            obs,
+            rng.normal(size=(N, A)).astype(np.float32),
+            np.zeros((N, 1), np.float32),
+            rng.normal(size=(N, S)).astype(np.float32),
+            np.zeros((N, 1), np.float32),
+            np.zeros((N, 1), np.float32),
+            obs_after,
+            np.full((N, 1), 7.0, np.float32),
+        ],
+        axis=1,
+    )
+    key = jax.random.key(3)
+    step = jnp.asarray(11, jnp.int32)
+    a_packed = t._interact_packed(
+        t.state["sac"].actor_params, key, step, jnp.asarray(packed), S
+    )
+    a_direct = t._interact(
+        t.state["sac"].actor_params, key, step, jnp.asarray(obs_after)
+    )
+    np.testing.assert_allclose(
+        np.asarray(a_packed), np.asarray(a_direct), rtol=1e-6, atol=1e-6
+    )

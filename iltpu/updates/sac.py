@@ -121,21 +121,41 @@ class SACLearner:
         next_action = jnp.tanh(z2)
         next_log_prob = D.log_prob_from_pretanh(next_mean, next_log_std, z2)
         next_action = (1.0 - absorbing[:, None]) * next_action
-        tq1, tq2 = self.critic.apply(state.target_critic_params, s2, next_action)
+
+        # Target critic on (s', a') and online critic on (s, a) run as ONE
+        # stacked forward (the target slot is a constant w.r.t. the online
+        # params, so its cotangents are zero and the critic gradient is
+        # exactly the separate-forward formulation — same op-count argument
+        # as the shared actor forward above).
+        target_params = state.target_critic_params
+        s_in = jnp.stack([s2, s])
+        a_in = jnp.stack([next_action, a])
+
+        def stacked_critic_fwd(online_params):
+            stacked = jax.tree.map(
+                lambda t, c: jnp.stack([t, c]), target_params, online_params
+            )
+            return jax.vmap(self.critic.apply)(stacked, s_in, a_in)
+
+        (q1s, q2s), critic_vjp = jax.vjp(stacked_critic_fwd, state.critic_params)
+        tq1, tq2 = q1s[0], q2s[0]
         target_v = jnp.minimum(tq1, tq2) - (1.0 - absorbing) * alpha * next_log_prob
         td_target = jax.lax.stop_gradient(r + (1.0 - term) * self.discount * target_v)
 
         # --- Critic step (training.py:26-31) --------------------------------
-        def critic_loss_fn(critic_params):
-            q1, q2 = self.critic.apply(critic_params, s, a)
+        def critic_head(q1, q2):
             loss = jnp.mean(w * (q1 - td_target) ** 2) + jnp.mean(
                 w * (q2 - td_target) ** 2
             )
             return loss, jnp.minimum(q1, q2)
 
-        (critic_loss, min_q_batch), critic_grads = jax.value_and_grad(
-            critic_loss_fn, has_aux=True
-        )(state.critic_params)
+        (critic_loss, min_q_batch), (g_q1, g_q2) = jax.value_and_grad(
+            critic_head, argnums=(0, 1), has_aux=True
+        )(q1s[1], q2s[1])
+        zeros_q = jnp.zeros_like(tq1)
+        (critic_grads,) = critic_vjp(
+            (jnp.stack([zeros_q, g_q1]), jnp.stack([zeros_q, g_q2]))
+        )
         critic_updates, critic_opt = self.critic_optim.update(
             critic_grads, state.critic_opt, state.critic_params
         )

@@ -1,0 +1,432 @@
+"""Fused Pallas TPU kernel for the complete SAC update step.
+
+One `pl.pallas_call` executes everything `SACLearner.update`
+(iltpu/updates/sac.py, reference training.py:14-54) does per update:
+
+  TD target (actor fwd on s' + target-critic fwd)  ->  critic fwd/bwd +
+  AdamW  ->  actor fwd + critic input-grad + hand-derived tanh-Gaussian
+  backward + AdamW  ->  temperature grad + Adam  ->  Polyak.
+
+Why: at batch 256 with 2x256 MLPs every constituent XLA op is far below
+MXU/VPU saturation, so the XLA update is op-latency-bound (~60 us on the
+bench chip, docs/PERF.md). Fusing the whole update into ONE kernel keeps
+all activations and parameters in VMEM (~3 MB total) and removes the
+per-op overhead entirely.
+
+Exactness: the backward passes are hand-derived; `tests/test_pallas_sac.py`
+pins the kernel (interpret mode off-TPU) against `SACLearner.update` leaf
+by leaf, single-step and chained. Key derivatives for the reparameterised
+tanh-Gaussian with z = mu + sigma*eps and
+lp = sum[-0.5(eps^2 + 2*ls + log 2pi)] - sum[2(log2 - z - softplus(-2z))]:
+
+  d lp / d mu = 2 tanh(z)          (density and reparam terms cancel)
+  d lp / d ls = -1 + 2 sigma eps tanh(z)
+  d a  / d mu = 1 - tanh^2(z),   d a / d ls = (1 - tanh^2(z)) sigma eps
+
+Scope (asserted): depth-2 relu MLPs, no dropout, no spectral norm — the
+SAC/GAIL production configuration. AdamW math matches
+optax.flatten(optax.adamw) (eps=1e-8, eps_root=0, decoupled wd inside the
+lr scaling); the temperature uses plain Adam (train.py:66 parity).
+"""
+
+from functools import partial
+from typing import Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+
+LOG2PI = float(np.log(2.0 * np.pi))
+ADAM_B1, ADAM_B2, ADAM_EPS = 0.9, 0.999, 1e-8
+
+
+class SACHyper(NamedTuple):
+    lr: float
+    weight_decay: float
+    alpha_lr: float
+    discount: float
+    entropy_target: float
+    polyak: float
+
+
+# --------------------------------------------------------------------------
+# In-kernel building blocks (all operate on concrete jnp arrays)
+
+
+def _mlp_fwd(x, Ws, bs):
+    """Depth-2 relu MLP forward; returns (out, cache for backward)."""
+    z1 = jnp.dot(x, Ws[0], preferred_element_type=jnp.float32) + bs[0]
+    h1 = jnp.maximum(z1, 0.0)
+    z2 = jnp.dot(h1, Ws[1], preferred_element_type=jnp.float32) + bs[1]
+    h2 = jnp.maximum(z2, 0.0)
+    out = jnp.dot(h2, Ws[2], preferred_element_type=jnp.float32) + bs[2]
+    return out, (x, z1, h1, z2, h2)
+
+
+def _mlp_bwd(dout, cache, Ws):
+    """Backward of _mlp_fwd. Returns (param grads [dW,db]x3, dx)."""
+    x, z1, h1, z2, h2 = cache
+    dW3 = jnp.dot(h2.T, dout, preferred_element_type=jnp.float32)
+    db3 = jnp.sum(dout, axis=0)
+    dh2 = jnp.dot(dout, Ws[2].T, preferred_element_type=jnp.float32)
+    dz2 = dh2 * (z2 > 0.0)
+    dW2 = jnp.dot(h1.T, dz2, preferred_element_type=jnp.float32)
+    db2 = jnp.sum(dz2, axis=0)
+    dh1 = jnp.dot(dz2, Ws[1].T, preferred_element_type=jnp.float32)
+    dz1 = dh1 * (z1 > 0.0)
+    dW1 = jnp.dot(x.T, dz1, preferred_element_type=jnp.float32)
+    db1 = jnp.sum(dz1, axis=0)
+    dx = jnp.dot(dz1, Ws[0].T, preferred_element_type=jnp.float32)
+    return (dW1, db1, dW2, db2, dW3, db3), dx
+
+
+def _adam_step(p, g, m, v, t, lr, wd):
+    """One AdamW step (optax.adamw semantics). Returns (p', m', v')."""
+    m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
+    v = ADAM_B2 * v + (1.0 - ADAM_B2) * g * g
+    mh = m / (1.0 - ADAM_B1**t)
+    vh = v / (1.0 - ADAM_B2**t)
+    p = p - lr * (mh / (jnp.sqrt(vh) + ADAM_EPS) + wd * p)
+    return p, m, v
+
+
+def _tanh_gaussian(o, eps, action_size):
+    """Split MLP head output into (mu, clipped log-std) and sample."""
+    mu = o[:, :action_size]
+    l_raw = o[:, action_size:]
+    ls = jnp.clip(l_raw, -20.0, 2.0)
+    sigma = jnp.exp(ls)
+    z = mu + sigma * eps
+    return mu, l_raw, ls, sigma, z
+
+
+def _log_prob(ls, eps, z):
+    """lp = normal_log_prob + |d tanh/dz| correction, summed over actions
+    (distributions.py:18-43, with z - mu = sigma * eps substituted)."""
+    n = -0.5 * (eps * eps + 2.0 * ls + LOG2PI)
+    t = 2.0 * (jnp.log(2.0) - z - jax.nn.softplus(-2.0 * z))
+    return jnp.sum(n - t, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# The kernel
+
+
+def _sac_kernel(hyper: SACHyper, sizes, *refs):
+    (S, A, H, B) = sizes
+    lr, wd, alpha_lr = hyper.lr, hyper.weight_decay, hyper.alpha_lr
+    discount, H_target, rho = hyper.discount, hyper.entropy_target, hyper.polyak
+
+    it = iter(range(len(refs)))
+
+    def take(n):
+        return [refs[next(it)] for _ in range(n)]
+
+    # Operand order must match `_flatten_operands` below.
+    aw = take(6)          # actor W1,b1,W2,b2,W3,b3
+    am = take(6)          # actor adam m (same layout)
+    av = take(6)          # actor adam v
+    cw = take(6)          # critic stacked (2,...) W1,b1,W2,b2,W3,b3
+    cm = take(6)
+    cv = take(6)
+    tw = take(6)          # target critic stacked
+    (la_ref, lam_ref, lav_ref) = take(3)   # log_alpha + adam m/v (1,)
+    (ta_ref, tc_ref, tal_ref) = take(3)    # adam step counts (1,) f32
+    (s_ref, a_ref, r_ref, s2_ref, term_ref, w_ref, ab_ref) = take(7)
+    (eps2_ref, epsn_ref) = take(2)
+    # outputs (aliased to the state inputs) + aux
+    o_aw = take(6)
+    o_am = take(6)
+    o_av = take(6)
+    o_cw = take(6)
+    o_cm = take(6)
+    o_cv = take(6)
+    o_tw = take(6)
+    (o_la, o_lam, o_lav) = take(3)
+    (o_ta, o_tc, o_tal) = take(3)
+    (o_lp, o_minq, o_alpha) = take(3)
+
+    s = s_ref[...]
+    a = a_ref[...]
+    r = r_ref[...]
+    s2 = s2_ref[...]
+    term = term_ref[...]
+    wgt = w_ref[...]
+    ab = ab_ref[...]
+    eps2 = eps2_ref[...]
+    eps_new = epsn_ref[...]
+    log_alpha = la_ref[0]
+    alpha = jnp.exp(log_alpha)
+
+    actor_W = [aw[0][...], aw[2][...], aw[4][...]]
+    actor_b = [aw[1][...], aw[3][...], aw[5][...]]
+
+    def critic_fwd(stacked, x):
+        """Twin critic forward; returns ((q1, cache1), (q2, cache2))."""
+        outs = []
+        for k in (0, 1):
+            Ws = [stacked[0][k], stacked[2][k], stacked[4][k]]
+            bs = [stacked[1][k], stacked[3][k], stacked[5][k]]
+            o, cache = _mlp_fwd(x, Ws, bs)
+            outs.append((o[:, 0], cache, Ws))
+        return outs
+
+    # ---- TD target (training.py:19-25): no gradients anywhere ----------
+    o2, _ = _mlp_fwd(s2, actor_W, actor_b)
+    mu2, _, ls2, sg2, z2 = _tanh_gaussian(o2, eps2, A)
+    lp2 = _log_prob(ls2, eps2, z2)
+    na = (1.0 - ab[:, None]) * jnp.tanh(z2)
+    x2 = jnp.concatenate([s2, na], axis=-1)
+    tgt_out = critic_fwd([t[...] for t in tw], x2)
+    tq = jnp.minimum(tgt_out[0][0], tgt_out[1][0])
+    target_v = tq - (1.0 - ab) * alpha * lp2
+    td_target = r + (1.0 - term) * discount * target_v
+
+    # ---- Critic step (training.py:26-31) -------------------------------
+    x = jnp.concatenate([s, a], axis=-1)
+    cur = critic_fwd([c[...] for c in cw], x)
+    q1, q2 = cur[0][0], cur[1][0]
+    min_q = jnp.minimum(q1, q2)
+    t_c = tc_ref[0] + 1.0
+    # Per-twin AdamW on the (2, ...) stacked leaves: static twin index k
+    # avoids materialising 3D stacks inside the kernel.
+    new_cw = [[None, None] for _ in range(6)]
+    new_cm = [[None, None] for _ in range(6)]
+    new_cv = [[None, None] for _ in range(6)]
+    for k, (q, cache, Ws) in enumerate(cur):
+        dq = (2.0 / B) * wgt * (q - td_target)
+        g, _ = _mlp_bwd(dq[:, None], cache, Ws)
+        for i in range(6):
+            p, m, v = _adam_step(
+                cw[i][k], g[i], cm[i][k], cv[i][k], t_c, lr, wd
+            )
+            new_cw[i][k] = p
+            new_cm[i][k] = m
+            new_cv[i][k] = v
+
+    # ---- Actor + temperature (training.py:33-49), vs the UPDATED critic -
+    o1, actor_cache = _mlp_fwd(s, actor_W, actor_b)
+    mu1, l_raw1, ls1, sg1, z1 = _tanh_gaussian(o1, eps_new, A)
+    lp1 = _log_prob(ls1, eps_new, z1)
+    a_new = jnp.tanh(z1)
+    xn = jnp.concatenate([s, a_new], axis=-1)
+    upd = []
+    for k in (0, 1):
+        Ws = [new_cw[0][k], new_cw[2][k], new_cw[4][k]]
+        bs = [new_cw[1][k], new_cw[3][k], new_cw[5][k]]
+        o, cache = _mlp_fwd(xn, Ws, bs)
+        upd.append((o[:, 0], cache, Ws))
+    qn1, qn2 = upd[0][0], upd[1][0]
+    # d(-mean(min(q1,q2)))/dq_k -> backprop to the action input only.
+    sel1 = (qn1 <= qn2).astype(jnp.float32)
+    da = jnp.zeros_like(a_new)
+    for k, sel in ((0, sel1), (1, 1.0 - sel1)):
+        dq = (-1.0 / B) * sel
+        _, dx = _mlp_bwd(dq[:, None], upd[k][1], upd[k][2])
+        da = da + dx[:, S:]
+    tanh_z = jnp.tanh(z1)
+    sech2 = 1.0 - tanh_z * tanh_z
+    c_ent = (wgt * (1.0 - ab) * alpha / B)[:, None]
+    g_mu = c_ent * (2.0 * tanh_z) + da * sech2
+    g_ls = c_ent * (-1.0 + 2.0 * sg1 * eps_new * tanh_z) + da * sech2 * sg1 * eps_new
+    g_ls = g_ls * ((l_raw1 >= -20.0) & (l_raw1 <= 2.0)).astype(jnp.float32)
+    do = jnp.concatenate([g_mu, g_ls], axis=-1)
+    ag, _ = _mlp_bwd(do, actor_cache, actor_W)
+    t_a = ta_ref[0] + 1.0
+    new_aw, new_am, new_av = [], [], []
+    for i in range(6):
+        p, m, v = _adam_step(aw[i][...], ag[i], am[i][...], av[i][...], t_a, lr, wd)
+        new_aw.append(p)
+        new_am.append(m)
+        new_av.append(v)
+
+    # Temperature: plain Adam on the PRE-update log_alpha (training.py:44-49).
+    g_la = -jnp.sum(wgt * (1.0 - ab) * (lp1 + H_target)) / B * alpha
+    t_al = tal_ref[0] + 1.0
+    la_new, lam_new, lav_new = _adam_step(
+        log_alpha, g_la, lam_ref[0], lav_ref[0], t_al, alpha_lr, 0.0
+    )
+
+    # ---- Writes ---------------------------------------------------------
+    for i in range(6):
+        o_aw[i][...] = new_aw[i]
+        o_am[i][...] = new_am[i]
+        o_av[i][...] = new_av[i]
+        for k in (0, 1):
+            o_cw[i][k] = new_cw[i][k]
+            o_cm[i][k] = new_cm[i][k]
+            o_cv[i][k] = new_cv[i][k]
+            o_tw[i][k] = rho * tw[i][k] + (1.0 - rho) * new_cw[i][k]
+    o_la[0] = la_new
+    o_lam[0] = lam_new
+    o_lav[0] = lav_new
+    o_ta[0] = t_a
+    o_tc[0] = t_c
+    o_tal[0] = t_al
+    o_lp[...] = lp1
+    o_minq[...] = min_q
+    o_alpha[0] = alpha
+
+
+# --------------------------------------------------------------------------
+# Host-side wrapper
+
+
+def _leaves6(params: Dict) -> Tuple:
+    """MLP params {'layers': ({'w','b'},)*3} -> (W1,b1,W2,b2,W3,b3)."""
+    ls = params["layers"]
+    assert len(ls) == 3, "pallas SAC kernel supports depth-2 MLPs only"
+    return (ls[0]["w"], ls[0]["b"], ls[1]["w"], ls[1]["b"], ls[2]["w"], ls[2]["b"])
+
+
+def _tree6(leaves) -> Dict:
+    return {
+        "layers": (
+            {"w": leaves[0], "b": leaves[1]},
+            {"w": leaves[2], "b": leaves[3]},
+            {"w": leaves[4], "b": leaves[5]},
+        )
+    }
+
+
+def _adam_state(opt_state):
+    """Locate the ScaleByAdamState in an optax chain state."""
+    for s in jax.tree.leaves(opt_state, is_leaf=lambda x: hasattr(x, "mu")):
+        if hasattr(s, "mu"):
+            return s
+    raise ValueError("no ScaleByAdamState in optimiser state")
+
+
+def _rebuild_opt_state(opt_state, count, mu, nu):
+    import optax
+
+    def rep(s):
+        if hasattr(s, "mu"):
+            return s._replace(count=count, mu=mu, nu=nu)
+        return s
+
+    return jax.tree.map(rep, opt_state, is_leaf=lambda x: hasattr(x, "mu"))
+
+
+def sac_update_pallas(
+    learner,
+    state,
+    key: jax.Array,
+    transitions: Dict[str, jax.Array],
+    *,
+    interpret: bool = False,
+):
+    """Drop-in replacement for `SACLearner.update` running the whole update
+    as one Pallas kernel. Same (state, aux) contract."""
+    from jax.flatten_util import ravel_pytree
+
+    actor_net = learner.actor.net
+    critic_net = learner.critic.critic.net
+    assert actor_net.depth == 2 and critic_net.depth == 2
+    assert actor_net.activation == "relu" and critic_net.activation == "relu"
+    assert actor_net.dropout == 0.0 and actor_net.input_dropout == 0.0
+    assert not actor_net.spectral_norm and not critic_net.spectral_norm
+
+    S = learner.actor.state_size
+    A = learner.actor.action_size
+    H = actor_net.hidden_size
+    B = transitions["states"].shape[0]
+
+    k_next, k_new = jax.random.split(key)
+    eps2 = jax.random.normal(k_next, (B, A), jnp.float32)
+    eps_new = jax.random.normal(k_new, (B, A), jnp.float32)
+
+    # optax.flatten keeps one flat (P,) mu/nu per optimiser; unflatten to
+    # the leaf layout the kernel uses (ravel_pytree order — the same
+    # function optax.flatten uses).
+    _, unravel_a = ravel_pytree(state.actor_params)
+    _, unravel_c = ravel_pytree(state.critic_params)
+    ast = _adam_state(state.actor_opt)
+    cst = _adam_state(state.critic_opt)
+    alst = _adam_state(state.alpha_opt)
+
+    a6 = _leaves6(state.actor_params)
+    am6 = _leaves6(unravel_a(ast.mu))
+    av6 = _leaves6(unravel_a(ast.nu))
+    c6 = _leaves6(state.critic_params)
+    cm6 = _leaves6(unravel_c(cst.mu))
+    cv6 = _leaves6(unravel_c(cst.nu))
+    t6 = _leaves6(state.target_critic_params)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    counts = (
+        f32(ast.count).reshape(1),
+        f32(cst.count).reshape(1),
+        f32(alst.count).reshape(1),
+    )
+    batch = (
+        transitions["states"],
+        transitions["actions"],
+        transitions["rewards"],
+        transitions["next_states"],
+        transitions["terminals"],
+        transitions["weights"],
+        transitions["absorbing"],
+    )
+
+    operands = (
+        *a6, *am6, *av6, *c6, *cm6, *cv6, *t6,
+        state.log_alpha, jnp.reshape(alst.mu, (1,)), jnp.reshape(alst.nu, (1,)),
+        *counts, *batch, eps2, eps_new,
+    )
+
+    n_state = 6 * 7 + 3 + 3  # aliased outputs: params/moments/targets/alpha/counts
+    out_shapes = [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in operands[:n_state]]
+    out_shapes += [
+        jax.ShapeDtypeStruct((B,), jnp.float32),  # log_probs
+        jax.ShapeDtypeStruct((B,), jnp.float32),  # min Q (critic-loss batch)
+        jax.ShapeDtypeStruct((1,), jnp.float32),  # alpha (pre-update)
+    ]
+
+    hyper = SACHyper(
+        lr=learner.lr,
+        weight_decay=learner.weight_decay,
+        alpha_lr=learner.alpha_lr,
+        discount=learner.discount,
+        entropy_target=learner.entropy_target,
+        polyak=learner.polyak_factor,
+    )
+    kernel = partial(_sac_kernel, hyper, (S, A, H, B))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        input_output_aliases={i: i for i in range(n_state)},
+        interpret=interpret,
+    )(*operands)
+
+    new_a6, new_am6, new_av6 = outs[0:6], outs[6:12], outs[12:18]
+    new_c6, new_cm6, new_cv6 = outs[18:24], outs[24:30], outs[30:36]
+    new_t6 = outs[36:42]
+    new_la, new_lam, new_lav = outs[42], outs[43], outs[44]
+    new_ta, new_tc, new_tal = outs[45], outs[46], outs[47]
+    lp, min_q, alpha = outs[48], outs[49], outs[50]
+
+    i32 = lambda x: jnp.asarray(x[0], jnp.int32)
+    new_state = state.replace(
+        actor_params=_tree6(new_a6),
+        critic_params=_tree6(new_c6),
+        target_critic_params=_tree6(new_t6),
+        log_alpha=new_la,
+        actor_opt=_rebuild_opt_state(
+            state.actor_opt, i32(new_ta),
+            ravel_pytree(_tree6(new_am6))[0], ravel_pytree(_tree6(new_av6))[0],
+        ),
+        critic_opt=_rebuild_opt_state(
+            state.critic_opt, i32(new_tc),
+            ravel_pytree(_tree6(new_cm6))[0], ravel_pytree(_tree6(new_cv6))[0],
+        ),
+        alpha_opt=_rebuild_opt_state(
+            state.alpha_opt, i32(new_tal), new_lam, new_lav
+        ),
+    )
+    aux = {
+        "log_probs": lp,
+        "Q_values": min_q,
+        "alpha": alpha[0],
+    }
+    return new_state, aux

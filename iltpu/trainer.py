@@ -219,6 +219,25 @@ class Trainer:
         self.key, k = jax.random.split(self.key)
         sac = self.learner.init(k)
 
+        # Fused Pallas SAC update (iltpu/ops/pallas_sac.py): the entire
+        # update step as ONE kernel — perf mode for the latency-bound
+        # production configuration (depth-2 relu MLPs, no actor dropout).
+        self._sac_pallas = bool(cfg.training.get("sac_pallas", False))
+        if self._sac_pallas:
+            an, cn = self.actor.net, self.critic.critic.net
+            supported = (
+                an.depth == 2 and cn.depth == 2
+                and an.activation == "relu" and cn.activation == "relu"
+                and an.dropout == 0.0 and an.input_dropout == 0.0
+                and not an.spectral_norm and not cn.spectral_norm
+            )
+            if not supported:
+                raise ValueError(
+                    "training.sac_pallas=true requires depth-2 relu "
+                    "actor/critic MLPs without dropout or spectral norm "
+                    f"(algorithm={self.alg})"
+                )
+
         # --- State pytree + per-algorithm reward modules -------------------
         state = {
             "sac": sac,
@@ -557,7 +576,15 @@ class Trainer:
                 )
                 sac = sac.replace(actor_params=new_actor, actor_opt=new_opt)
 
-            sac, sac_aux = learner.update(sac, k_sac, transitions)
+            if self._sac_pallas:
+                from iltpu.ops.pallas_sac import sac_update_pallas
+
+                sac, sac_aux = sac_update_pallas(
+                    learner, sac, k_sac, transitions,
+                    interpret=jax.default_backend() != "tpu",
+                )
+            else:
+                sac, sac_aux = learner.update(sac, k_sac, transitions)
             out["sac"] = sac
             aux.update(
                 predicted_rewards=transitions["rewards"],

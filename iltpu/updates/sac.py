@@ -56,6 +56,10 @@ class SACLearner:
         self.discount = discount
         self.entropy_target = entropy_target
         self.polyak_factor = polyak_factor
+        # recorded for the fused Pallas update path (iltpu/ops/pallas_sac.py)
+        self.lr = learning_rate
+        self.weight_decay = weight_decay
+        self.alpha_lr = learning_rate
         # torch AdamW parity for actor/critic, plain Adam for the temperature
         # (train.py:66). optax.flatten runs the elementwise Adam math on one
         # flat vector per optimiser instead of per-leaf ops — the update is

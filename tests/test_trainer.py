@@ -192,3 +192,27 @@ def test_interact_packed_matches_interact(tmp_path):
     np.testing.assert_allclose(
         np.asarray(a_packed), np.asarray(a_direct), rtol=1e-6, atol=1e-6
     )
+
+
+def test_sac_pallas_update_path(tmp_path):
+    """training.sac_pallas=true (fused Pallas SAC update) trains end-to-end
+    and matches the default path's run structure."""
+    cfg = _cfg("algorithm=GAIL", "training.sac_pallas=true")
+    trainer = Trainer(cfg, str(tmp_path))
+    score = trainer.run()
+    assert np.isfinite(score)
+    assert trainer.metrics["Q_values"]
+
+
+def test_sac_pallas_rejects_unsupported_net(tmp_path):
+    """The kernel is specialised to depth-2 relu nets; anything else must
+    fail loudly at construction, not silently diverge."""
+    import pytest as _pytest
+
+    cfg = _cfg(
+        "algorithm=SAC",
+        "training.sac_pallas=true",
+        "reinforcement.actor.depth=1",
+    )
+    with _pytest.raises(ValueError, match="sac_pallas"):
+        Trainer(cfg, str(tmp_path))

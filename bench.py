@@ -53,6 +53,9 @@ def main():
     pipeline = os.environ.get("BENCH_PIPELINE", "1") != "0"
     host_acting = os.environ.get("BENCH_HOST_ACTING", "0") != "0"
     prng = os.environ.get("BENCH_PRNG", "rbg")  # hardware RNG: perf mode
+    # Fused Pallas update kernels (iltpu/ops/pallas_{sac,gail}.py) — the
+    # whole SAC step and the GAIL discriminator step as one kernel each.
+    pallas = os.environ.get("BENCH_PALLAS", "0") != "0"
 
     def make(n_steps, seed, skip=0):
         cfg = load_config(
@@ -62,6 +65,8 @@ def main():
                 f"env_backend={env_backend}",
                 f"training.pipeline={str(pipeline).lower()}",
                 f"training.host_acting={str(host_acting).lower()}",
+                f"training.sac_pallas={str(pallas).lower()}",
+                f"training.disc_pallas={str(pallas).lower()}",
                 f"training.timing_skip_steps={skip}",
                 f"prng={prng}",
                 f"seed={seed}",

@@ -1,0 +1,261 @@
+"""Fused Pallas TPU kernel for the GAIL discriminator step + reward head.
+
+One `pl.pallas_call` performs the whole per-update discriminator program
+(reference training.py:85-134 + train.py:177-198 ordering):
+
+  BCE loss on one fused expert+policy forward  ->  input-gradient penalty
+  (double autodiff, traced *inside* the kernel)  ->  AdamW  ->  spectral-norm
+  power iteration  ->  reward prediction with the UPDATED parameters.
+
+Unlike the SAC kernel (pallas_sac.py, hand-derived backward), the
+discriminator gradients — including the grad-penalty's second-order term —
+come from `jax.value_and_grad` traced inside the kernel body: autodiff is a
+trace-time transformation, so the kernel still lowers to plain
+matmul/elementwise Mosaic ops.
+
+Scope (asserted by the wrapper): the production GAIL configuration —
+BCE loss, no Mixup/PUGAIL, no entropy bonus, no reward shaping, no
+subtract-log-pi, state+action input, depth-1 relu g-network. AdamW matches
+optax.flatten(optax.adamw) exactly (same bias-correction counts), and the
+spectral-norm step replicates `update_spectral_norm` (fcnn.py).
+
+Equivalence is pinned by tests/test_pallas_gail.py against
+`adversarial_imitation_update` + `predict_reward`.
+"""
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+from iltpu.ops.pallas_sac import _adam_step, _adam_state, _rebuild_opt_state
+
+
+def _gail_kernel(static, *refs):
+    (B, grad_penalty, lr, wd, spectral_norm, reward_function) = static
+    it = iter(range(len(refs)))
+
+    def take(n):
+        return [refs[next(it)] for _ in range(n)]
+
+    (w1_ref, b1_ref, w2_ref, b2_ref) = take(4)
+    sn = take(4) if spectral_norm else []  # u1, v1, u2, v2
+    m4 = take(4)
+    v4 = take(4)
+    (t_ref,) = take(1)
+    (es_ref, ea_ref, ew_ref, ps_ref, pa_ref, pw_ref, eps_ref) = take(7)
+    o_params = take(4)
+    o_sn = take(4) if spectral_norm else []
+    o_m = take(4)
+    o_v = take(4)
+    (o_t,) = take(1)
+    (o_loss, o_rewards) = take(2)
+
+    e_s, e_a, e_w = es_ref[...], ea_ref[...], ew_ref[...]
+    p_s, p_a, p_w = ps_ref[...], pa_ref[...], pw_ref[...]
+    eps_gp = eps_ref[...]
+    if spectral_norm:
+        u1, v1, u2, v2 = (r[...] for r in sn)
+
+    def fwd(params, s, a):
+        w1, b1, w2, b2 = params
+        if spectral_norm:
+            w1 = w1 / (v1 @ w1 @ u1)
+            w2 = w2 / (v2 @ w2 @ u2)
+        x = jnp.concatenate([s, a], axis=-1)
+        h = jnp.maximum(
+            jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1, 0.0
+        )
+        return (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2)[:, 0]
+
+    def bce(logits, target):
+        return jax.nn.softplus(-logits) + (1.0 - target) * logits
+
+    c_s = jnp.concatenate([e_s, p_s])
+    c_a = jnp.concatenate([e_a, p_a])
+    g_s = eps_gp[:, None] * e_s + (1.0 - eps_gp[:, None]) * p_s
+    g_a = eps_gp[:, None] * e_a + (1.0 - eps_gp[:, None]) * p_a
+    g_w = eps_gp * e_w + (1.0 - eps_gp) * p_w
+
+    def loss_fn(params):
+        d = fwd(params, c_s, c_a)
+        loss = jnp.mean(e_w * bce(d[:B], 1.0)) + jnp.mean(
+            p_w * bce(d[B:], 0.0)
+        )
+        if grad_penalty > 0.0:
+            def d_sum(s, a):
+                return jnp.sum(fwd(params, s, a))
+
+            gs, ga = jax.grad(d_sum, argnums=(0, 1))(g_s, g_a)
+            sq = jnp.sum(gs * gs, axis=-1) + jnp.sum(ga * ga, axis=-1)
+            loss = loss + grad_penalty * jnp.mean(g_w * sq)
+        return loss
+
+    params = (w1_ref[...], b1_ref[...], w2_ref[...], b2_ref[...])
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+
+    t = t_ref[0] + 1.0
+    new_params = []
+    for i in range(4):
+        p, m, v = _adam_step(params[i], grads[i], m4[i][...], v4[i][...], t, lr, wd)
+        new_params.append(p)
+        o_params[i][...] = p
+        o_m[i][...] = m
+        o_v[i][...] = v
+    o_t[0] = t
+
+    # Spectral-norm power iteration on the UPDATED weights (fcnn.py
+    # update_spectral_norm: v <- normalize(W u); u <- normalize(W^T v)).
+    if spectral_norm:
+        nu1 = new_params[0] @ u1
+        nv1 = nu1 / (jnp.sqrt(jnp.sum(nu1 * nu1)) + 1e-12)
+        nu1b = new_params[0].T @ nv1
+        nu1b = nu1b / (jnp.sqrt(jnp.sum(nu1b * nu1b)) + 1e-12)
+        nu2 = new_params[2] @ u2
+        nv2 = nu2 / (jnp.sqrt(jnp.sum(nu2 * nu2)) + 1e-12)
+        nu2b = new_params[2].T @ nv2
+        nu2b = nu2b / (jnp.sqrt(jnp.sum(nu2b * nu2b)) + 1e-12)
+        o_sn[0][...] = nu1b
+        o_sn[1][...] = nv1
+        o_sn[2][...] = nu2b
+        o_sn[3][...] = nv2
+        u1, v1, u2, v2 = nu1b, nv1, nu2b, nv2
+
+    # Reward head with the updated parameters (train.py:177-198 ordering;
+    # models.py:177-180 reward functions) on the policy batch.
+    f = fwd(tuple(new_params), p_s, p_a)
+    D = jax.nn.sigmoid(f)
+    if reward_function == "GAIL":
+        r = -jnp.log1p(-D + 1e-6)
+    else:
+        r = jnp.log(D + 1e-6) - jnp.log1p(-D + 1e-6)
+        if reward_function == "FAIRL":
+            r = jnp.exp(r) * -r
+    o_rewards[...] = r
+    o_loss[0] = loss
+
+
+def gail_update_pallas(
+    discriminator,
+    disc_params: Dict,
+    opt_state,
+    transitions: Dict[str, jax.Array],
+    expert_transitions: Dict[str, jax.Array],
+    key: jax.Array,
+    *,
+    grad_penalty: float,
+    learning_rate: float,
+    weight_decay: float,
+    interpret: bool = False,
+) -> Tuple[Dict, tuple, Dict[str, jax.Array], jax.Array]:
+    """Fused replacement for `adversarial_imitation_update` + the GAIL
+    `predict_reward` pass. Returns (new_params, new_opt_state, aux,
+    rewards-for-the-policy-batch)."""
+    from jax.flatten_util import ravel_pytree
+
+    g = discriminator.g
+    assert not discriminator.reward_shaping and not discriminator.state_only
+    assert not discriminator.subtract_log_policy
+    assert g.depth == 1 and g.activation == "relu"
+    assert g.dropout == 0.0 and g.input_dropout == 0.0
+
+    layers = disc_params["g"]["layers"]
+    spectral_norm = "u" in layers[0]
+    B = transitions["terminals"].shape[0]
+
+    # Key convention of adversarial_imitation_update: (k_mixup, k_gp) split,
+    # eps_gp ~ U(0,1)^B from k_gp.
+    _, k_gp = jax.random.split(key)
+    eps_gp = jax.random.uniform(k_gp, (B,))
+
+    _, unravel = ravel_pytree(disc_params)
+    ast = _adam_state(opt_state)
+    mu_t = unravel(ast.mu)["g"]["layers"]
+    nu_t = unravel(ast.nu)["g"]["layers"]
+
+    def leaves4(ls):
+        return (ls[0]["w"], ls[0]["b"], ls[1]["w"], ls[1]["b"])
+
+    p4 = leaves4(layers)
+    sn4 = (
+        (layers[0]["u"], layers[0]["v"], layers[1]["u"], layers[1]["v"])
+        if spectral_norm
+        else ()
+    )
+    m4 = leaves4(mu_t)
+    v4 = leaves4(nu_t)
+    count = jnp.reshape(jnp.asarray(ast.count, jnp.float32), (1,))
+    batch = (
+        expert_transitions["states"],
+        expert_transitions["actions"],
+        expert_transitions["weights"],
+        transitions["states"],
+        transitions["actions"],
+        transitions["weights"],
+        eps_gp,
+    )
+    operands = (*p4, *sn4, *m4, *v4, count, *batch)
+    n_state = 4 + len(sn4) + 4 + 4 + 1
+    out_shapes = [
+        jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in operands[:n_state]
+    ] + [
+        jax.ShapeDtypeStruct((1,), jnp.float32),  # loss
+        jax.ShapeDtypeStruct((B,), jnp.float32),  # rewards
+    ]
+    static = (
+        B,
+        float(grad_penalty),
+        float(learning_rate),
+        float(weight_decay),
+        spectral_norm,
+        discriminator.reward_function,
+    )
+    outs = pl.pallas_call(
+        partial(_gail_kernel, static),
+        out_shape=out_shapes,
+        input_output_aliases={i: i for i in range(n_state)},
+        interpret=interpret,
+    )(*operands)
+
+    np4 = outs[0:4]
+    off = 4
+    if spectral_norm:
+        nsn = outs[off : off + 4]
+        off += 4
+    nm4 = outs[off : off + 4]
+    nv4 = outs[off + 4 : off + 8]
+    n_t = outs[off + 8]
+    loss = outs[off + 9]
+    rewards = outs[off + 10]
+
+    l0 = {"w": np4[0], "b": np4[1]}
+    l1 = {"w": np4[2], "b": np4[3]}
+    if spectral_norm:
+        l0 = {**l0, "u": nsn[0], "v": nsn[1]}
+        l1 = {**l1, "u": nsn[2], "v": nsn[3]}
+    new_params = {"g": {"layers": (l0, l1)}}
+    # optax.flatten moments are over the FULL param tree (incl. u/v slots,
+    # which adamw never moves because their grads are zero via stop_gradient
+    # — but flatten still tracks them). Preserve the original u/v moment
+    # values from the flat vectors rather than zeros.
+    mu_full = unravel(ast.mu)
+    nu_full = unravel(ast.nu)
+
+    def put_moments(full, w1, b1, w2, b2):
+        ls = full["g"]["layers"]
+        l0 = {**ls[0], "w": w1, "b": b1}
+        l1 = {**ls[1], "w": w2, "b": b2}
+        return {"g": {"layers": (l0, l1)}}
+
+    new_mu = put_moments(mu_full, *nm4)
+    new_nu = put_moments(nu_full, *nv4)
+    new_opt = _rebuild_opt_state(
+        opt_state,
+        jnp.asarray(n_t[0], jnp.int32),
+        ravel_pytree(new_mu)[0],
+        ravel_pytree(new_nu)[0],
+    )
+    aux = {"discriminator_loss": loss[0]}
+    return new_params, new_opt, aux, rewards

@@ -237,6 +237,30 @@ class Trainer:
                     "actor/critic MLPs without dropout or spectral norm "
                     f"(algorithm={self.alg})"
                 )
+        # Fused Pallas GAIL discriminator step (iltpu/ops/pallas_gail.py):
+        # only the production GAIL configuration is specialised.
+        self._disc_pallas = bool(cfg.training.get("disc_pallas", False))
+        if self._disc_pallas:
+            supported = self.alg == "GAIL"
+            if supported:
+                d = cfg.imitation.discriminator
+                supported = (
+                    cfg.imitation.loss_function == "BCE"
+                    and cfg.imitation.entropy_bonus == 0
+                    and not d.reward_shaping
+                    and not d.subtract_log_policy
+                    and not cfg.imitation.state_only
+                    and d.depth == 1
+                    and d.activation == "relu"
+                    and cfg.imitation.mix_expert_data == "none"
+                )
+            if not supported:
+                raise ValueError(
+                    "training.disc_pallas=true supports only the BCE GAIL "
+                    "configuration (depth-1 relu, no shaping/log-pi/state-"
+                    "only/mixing/entropy-bonus); got "
+                    f"algorithm={self.alg}"
+                )
 
         # --- State pytree + per-algorithm reward modules -------------------
         state = {
@@ -475,19 +499,46 @@ class Trainer:
             aux = {}
 
             # Discriminator training (train.py:176-180)
+            fused_rewards = None
             if alg == "GAIL":
-                out["disc"], out["disc_opt"], d_aux = adversarial_imitation_update(
-                    disc,
-                    actor,
-                    state["sac"].actor_params,
-                    state["disc"],
-                    state["disc_opt"],
-                    self.disc_optim,
-                    transitions,
-                    expert_transitions,
-                    k_disc,
-                    self.adv_cfg,
-                )
+                if self._disc_pallas:
+                    # Fused kernel: disc step + reward head in ONE program
+                    # (iltpu/ops/pallas_gail.py; reference ordering intact —
+                    # rewards come from the updated discriminator).
+                    from iltpu.ops.pallas_gail import gail_update_pallas
+
+                    (
+                        out["disc"],
+                        out["disc_opt"],
+                        d_aux,
+                        fused_rewards,
+                    ) = gail_update_pallas(
+                        disc,
+                        state["disc"],
+                        state["disc_opt"],
+                        transitions,
+                        expert_transitions,
+                        k_disc,
+                        grad_penalty=icfg.grad_penalty,
+                        learning_rate=icfg.learning_rate,
+                        weight_decay=icfg.weight_decay,
+                        interpret=jax.default_backend() != "tpu",
+                    )
+                else:
+                    out["disc"], out["disc_opt"], d_aux = (
+                        adversarial_imitation_update(
+                            disc,
+                            actor,
+                            state["sac"].actor_params,
+                            state["disc"],
+                            state["disc_opt"],
+                            self.disc_optim,
+                            transitions,
+                            expert_transitions,
+                            k_disc,
+                            self.adv_cfg,
+                        )
+                    )
                 aux["discriminator_loss"] = d_aux["discriminator_loss"]
 
             # Optional expert mixing (train.py:183)
@@ -521,27 +572,30 @@ class Trainer:
                     )
                 )
             elif alg == "GAIL":
-                inp = make_gail_input(
-                    transitions["states"],
-                    transitions["actions"],
-                    transitions["next_states"],
-                    transitions["terminals"],
-                    actor,
-                    state["sac"].actor_params,
-                    icfg.discriminator.reward_shaping,
-                    icfg.discriminator.subtract_log_policy,
-                )
                 transitions = dict(transitions)
-                transitions["rewards"] = jax.lax.stop_gradient(
-                    disc.predict_reward(
-                        out["disc"],
-                        inp["state"],
-                        inp["action"],
-                        inp.get("next_state"),
-                        inp.get("terminal"),
-                        inp.get("log_policy"),
+                if fused_rewards is not None:
+                    transitions["rewards"] = jax.lax.stop_gradient(fused_rewards)
+                else:
+                    inp = make_gail_input(
+                        transitions["states"],
+                        transitions["actions"],
+                        transitions["next_states"],
+                        transitions["terminals"],
+                        actor,
+                        state["sac"].actor_params,
+                        icfg.discriminator.reward_shaping,
+                        icfg.discriminator.subtract_log_policy,
                     )
-                )
+                    transitions["rewards"] = jax.lax.stop_gradient(
+                        disc.predict_reward(
+                            out["disc"],
+                            inp["state"],
+                            inp["action"],
+                            inp.get("next_state"),
+                            inp.get("terminal"),
+                            inp.get("log_policy"),
+                        )
+                    )
             elif alg == "GMMIL":
                 out["disc"], rewards = disc.predict_reward(
                     state["disc"],

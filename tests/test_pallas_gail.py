@@ -1,0 +1,81 @@
+"""The fused Pallas GAIL kernel (iltpu/ops/pallas_gail.py) must equal
+`adversarial_imitation_update` followed by `predict_reward` with the
+updated parameters — params, optimiser moments, spectral-norm vectors,
+loss, and the predicted rewards. Interpret mode off-TPU."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+import pytest
+
+from iltpu.models.actor import SoftActor
+from iltpu.ops.pallas_gail import gail_update_pallas
+from iltpu.rewards.gail import GAILDiscriminator
+from iltpu.updates.adversarial import AdversarialConfig, adversarial_imitation_update
+
+S, A, B = 7, 3, 32
+LR, WD, GP = 3e-5, 10.0, 1.0
+
+
+def _batch(key):
+    ks = jax.random.split(key, 4)
+    return {
+        "states": jax.random.normal(ks[0], (B, S)),
+        "actions": jnp.tanh(jax.random.normal(ks[1], (B, A))),
+        "next_states": jax.random.normal(ks[2], (B, S)),
+        "terminals": (jax.random.uniform(ks[3], (B,)) < 0.1).astype(jnp.float32),
+        "weights": 1.0 + 0.5 * jax.random.uniform(ks[3], (B,)),
+    }
+
+
+@pytest.mark.parametrize("spectral_norm", [True, False])
+@pytest.mark.parametrize("reward_function", ["AIRL", "GAIL"])
+def test_pallas_gail_matches_xla(spectral_norm, reward_function):
+    disc = GAILDiscriminator(
+        S, A, hidden_size=64, depth=1, spectral_norm=spectral_norm,
+        reward_function=reward_function,
+    )
+    params = disc.init(jax.random.key(0))
+    optim = optax.flatten(optax.adamw(LR, weight_decay=WD))
+    opt = optim.init(params)
+    actor = SoftActor(S, A, hidden_size=16, depth=2)
+    actor_params = actor.init(jax.random.key(1))
+    trans, expert = _batch(jax.random.key(2)), _batch(jax.random.key(3))
+    key = jax.random.key(42)
+    cfg = AdversarialConfig(loss_function="BCE", grad_penalty=GP)
+
+    p_ref, o_ref = params, opt
+    for i in range(3):  # chained: moments and SN vectors must track exactly
+        k = jax.random.fold_in(key, i)
+        p_ref, o_ref, aux_ref = adversarial_imitation_update(
+            disc, actor, actor_params, p_ref, o_ref, optim,
+            trans, expert, k, cfg,
+        )
+    want_r = disc.predict_reward(p_ref, trans["states"], trans["actions"])
+
+    p_pl, o_pl = params, opt
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        p_pl, o_pl, aux_pl, got_r = gail_update_pallas(
+            disc, p_pl, o_pl, trans, expert, k,
+            grad_penalty=GP, learning_rate=LR, weight_decay=WD,
+            interpret=True,
+        )
+
+    for g, w in zip(jax.tree.leaves(p_pl), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-6
+        )
+    for g, w in zip(jax.tree.leaves(o_pl), jax.tree.leaves(o_ref)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(aux_pl["discriminator_loss"]),
+        np.asarray(aux_ref["discriminator_loss"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(want_r), rtol=2e-5, atol=2e-6
+    )

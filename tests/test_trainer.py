@@ -216,3 +216,17 @@ def test_sac_pallas_rejects_unsupported_net(tmp_path):
     )
     with _pytest.raises(ValueError, match="sac_pallas"):
         Trainer(cfg, str(tmp_path))
+
+
+def test_disc_pallas_update_path(tmp_path):
+    """training.disc_pallas=true (fused GAIL discriminator kernel) trains
+    end-to-end, together with the fused SAC kernel."""
+    cfg = _cfg(
+        "algorithm=GAIL",
+        "training.disc_pallas=true",
+        "training.sac_pallas=true",
+    )
+    trainer = Trainer(cfg, str(tmp_path))
+    score = trainer.run()
+    assert np.isfinite(score)
+    assert trainer.metrics["Q_values"]

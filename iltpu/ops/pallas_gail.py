@@ -45,7 +45,7 @@ def _gail_kernel(static, *refs):
     m4 = take(4)
     v4 = take(4)
     (t_ref,) = take(1)
-    (es_ref, ea_ref, ew_ref, ps_ref, pa_ref, pw_ref, eps_ref) = take(7)
+    (es_ref, ea_ref, ew_ref, ps_ref, pa_ref, pw_ref, eps_ref, tgt_ref) = take(8)
     o_params = take(4)
     o_sn = take(4) if spectral_norm else []
     o_m = take(4)
@@ -56,22 +56,24 @@ def _gail_kernel(static, *refs):
     e_s, e_a, e_w = es_ref[...], ea_ref[...], ew_ref[...]
     p_s, p_a, p_w = ps_ref[...], pa_ref[...], pw_ref[...]
     eps_gp = eps_ref[...]
+    # (2B,) [targets | weights] stacked as (2, 2B) to keep operands 2D-ish:
+    tgt = tgt_ref[0]
+    w_all = tgt_ref[1]
     if spectral_norm:
         u1, v1, u2, v2 = (r[...] for r in sn)
 
     def fwd(params, s, a):
         w1, b1, w2, b2 = params
         if spectral_norm:
-            w1 = w1 / (v1 @ w1 @ u1)
-            w2 = w2 / (v2 @ w2 @ u2)
+            # sigma = v^T W u without 1D dots (Mosaic needs 2D contractions):
+            # elementwise outer-product reduction on the VPU.
+            w1 = w1 / jnp.sum((v1[:, None] * w1) * u1[None, :])
+            w2 = w2 / jnp.sum((v2[:, None] * w2) * u2[None, :])
         x = jnp.concatenate([s, a], axis=-1)
         h = jnp.maximum(
             jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1, 0.0
         )
         return (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2)[:, 0]
-
-    def bce(logits, target):
-        return jax.nn.softplus(-logits) + (1.0 - target) * logits
 
     c_s = jnp.concatenate([e_s, p_s])
     c_a = jnp.concatenate([e_a, p_a])
@@ -81,9 +83,10 @@ def _gail_kernel(static, *refs):
 
     def loss_fn(params):
         d = fwd(params, c_s, c_a)
-        loss = jnp.mean(e_w * bce(d[:B], 1.0)) + jnp.mean(
-            p_w * bce(d[B:], 0.0)
-        )
+        # mean(e_w*bce(d_e,1)) + mean(p_w*bce(d_p,0)) written WITHOUT
+        # slicing d (the slice backward emits a 1D concat Mosaic cannot
+        # lower): one weighted sum against a [1]*B+[0]*B target vector.
+        loss = jnp.sum(w_all * (jax.nn.softplus(-d) + (1.0 - tgt) * d)) / B
         if grad_penalty > 0.0:
             def d_sum(s, a):
                 return jnp.sum(fwd(params, s, a))
@@ -96,7 +99,9 @@ def _gail_kernel(static, *refs):
     params = (w1_ref[...], b1_ref[...], w2_ref[...], b2_ref[...])
     loss, grads = jax.value_and_grad(loss_fn)(params)
 
-    t = t_ref[0] + 1.0
+    # (1,) vectors for scalar state: Mosaic cannot store scalars to VMEM.
+    t_v = t_ref[...] + 1.0
+    t = t_v[0]
     new_params = []
     for i in range(4):
         p, m, v = _adam_step(params[i], grads[i], m4[i][...], v4[i][...], t, lr, wd)
@@ -104,24 +109,26 @@ def _gail_kernel(static, *refs):
         o_params[i][...] = p
         o_m[i][...] = m
         o_v[i][...] = v
-    o_t[0] = t
+    o_t[...] = t_v
 
     # Spectral-norm power iteration on the UPDATED weights (fcnn.py
     # update_spectral_norm: v <- normalize(W u); u <- normalize(W^T v)).
     if spectral_norm:
-        nu1 = new_params[0] @ u1
-        nv1 = nu1 / (jnp.sqrt(jnp.sum(nu1 * nu1)) + 1e-12)
-        nu1b = new_params[0].T @ nv1
-        nu1b = nu1b / (jnp.sqrt(jnp.sum(nu1b * nu1b)) + 1e-12)
-        nu2 = new_params[2] @ u2
-        nv2 = nu2 / (jnp.sqrt(jnp.sum(nu2 * nu2)) + 1e-12)
-        nu2b = new_params[2].T @ nv2
-        nu2b = nu2b / (jnp.sqrt(jnp.sum(nu2b * nu2b)) + 1e-12)
-        o_sn[0][...] = nu1b
+        def power_iter(w, u):
+            # matvecs as 2D matmuls (Mosaic-supported contraction shapes)
+            nv = jnp.dot(w, u[:, None], preferred_element_type=jnp.float32)[:, 0]
+            nv = nv / (jnp.sqrt(jnp.sum(nv * nv)) + 1e-12)
+            nu = jnp.dot(nv[None, :], w, preferred_element_type=jnp.float32)[0, :]
+            nu = nu / (jnp.sqrt(jnp.sum(nu * nu)) + 1e-12)
+            return nu, nv
+
+        nu1, nv1 = power_iter(new_params[0], u1)
+        nu2, nv2 = power_iter(new_params[2], u2)
+        o_sn[0][...] = nu1
         o_sn[1][...] = nv1
-        o_sn[2][...] = nu2b
+        o_sn[2][...] = nu2
         o_sn[3][...] = nv2
-        u1, v1, u2, v2 = nu1b, nv1, nu2b, nv2
+        u1, v1, u2, v2 = nu1, nv1, nu2, nv2
 
     # Reward head with the updated parameters (train.py:177-198 ordering;
     # models.py:177-180 reward functions) on the policy batch.
@@ -134,7 +141,7 @@ def _gail_kernel(static, *refs):
         if reward_function == "FAIRL":
             r = jnp.exp(r) * -r
     o_rewards[...] = r
-    o_loss[0] = loss
+    o_loss[...] = loss * jnp.ones((1,), jnp.float32)
 
 
 def gail_update_pallas(
@@ -195,6 +202,14 @@ def gail_update_pallas(
         transitions["actions"],
         transitions["weights"],
         eps_gp,
+        jnp.stack(
+            [
+                jnp.concatenate([jnp.ones((B,)), jnp.zeros((B,))]),
+                jnp.concatenate(
+                    [expert_transitions["weights"], transitions["weights"]]
+                ),
+            ]
+        ),  # (2, 2B): [BCE targets | weights] for the fused forward
     )
     operands = (*p4, *sn4, *m4, *v4, count, *batch)
     n_state = 4 + len(sn4) + 4 + 4 + 1

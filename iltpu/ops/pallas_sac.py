@@ -82,11 +82,12 @@ def _mlp_bwd(dout, cache, Ws):
 
 
 def _adam_step(p, g, m, v, t, lr, wd):
-    """One AdamW step (optax.adamw semantics). Returns (p', m', v')."""
+    """One AdamW step (optax.adamw semantics). Returns (p', m', v').
+    b**t is written exp(t log b): Mosaic has no powf legalization."""
     m = ADAM_B1 * m + (1.0 - ADAM_B1) * g
     v = ADAM_B2 * v + (1.0 - ADAM_B2) * g * g
-    mh = m / (1.0 - ADAM_B1**t)
-    vh = v / (1.0 - ADAM_B2**t)
+    mh = m / (1.0 - jnp.exp(t * np.log(ADAM_B1)))
+    vh = v / (1.0 - jnp.exp(t * np.log(ADAM_B2)))
     p = p - lr * (mh / (jnp.sqrt(vh) + ADAM_EPS) + wd * p)
     return p, m, v
 
@@ -156,8 +157,10 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
     ab = ab_ref[...]
     eps2 = eps2_ref[...]
     eps_new = epsn_ref[...]
-    log_alpha = la_ref[0]
-    alpha = jnp.exp(log_alpha)
+    # Mosaic cannot load/store scalars to VMEM — every scalar state lives
+    # in (1,) vectors; values are extracted with [0] (a value slice, legal).
+    log_alpha_v = la_ref[...]
+    alpha = jnp.exp(log_alpha_v[0])
 
     actor_W = [aw[0][...], aw[2][...], aw[4][...]]
     actor_b = [aw[1][...], aw[3][...], aw[5][...]]
@@ -188,7 +191,8 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
     cur = critic_fwd([c[...] for c in cw], x)
     q1, q2 = cur[0][0], cur[1][0]
     min_q = jnp.minimum(q1, q2)
-    t_c = tc_ref[0] + 1.0
+    t_c_v = tc_ref[...] + 1.0
+    t_c = t_c_v[0]
     # Per-twin AdamW on the (2, ...) stacked leaves: static twin index k
     # avoids materialising 3D stacks inside the kernel.
     new_cw = [[None, None] for _ in range(6)]
@@ -233,7 +237,8 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
     g_ls = g_ls * ((l_raw1 >= -20.0) & (l_raw1 <= 2.0)).astype(jnp.float32)
     do = jnp.concatenate([g_mu, g_ls], axis=-1)
     ag, _ = _mlp_bwd(do, actor_cache, actor_W)
-    t_a = ta_ref[0] + 1.0
+    t_a_v = ta_ref[...] + 1.0
+    t_a = t_a_v[0]
     new_aw, new_am, new_av = [], [], []
     for i in range(6):
         p, m, v = _adam_step(aw[i][...], ag[i], am[i][...], av[i][...], t_a, lr, wd)
@@ -242,10 +247,12 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
         new_av.append(v)
 
     # Temperature: plain Adam on the PRE-update log_alpha (training.py:44-49).
-    g_la = -jnp.sum(wgt * (1.0 - ab) * (lp1 + H_target)) / B * alpha
-    t_al = tal_ref[0] + 1.0
+    g_la = (
+        -jnp.sum(wgt * (1.0 - ab) * (lp1 + H_target), keepdims=True) / B * alpha
+    )  # (1,)
+    t_al_v = tal_ref[...] + 1.0
     la_new, lam_new, lav_new = _adam_step(
-        log_alpha, g_la, lam_ref[0], lav_ref[0], t_al, alpha_lr, 0.0
+        log_alpha_v, g_la, lam_ref[...], lav_ref[...], t_al_v[0], alpha_lr, 0.0
     )
 
     # ---- Writes ---------------------------------------------------------
@@ -258,15 +265,15 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
             o_cm[i][k] = new_cm[i][k]
             o_cv[i][k] = new_cv[i][k]
             o_tw[i][k] = rho * tw[i][k] + (1.0 - rho) * new_cw[i][k]
-    o_la[0] = la_new
-    o_lam[0] = lam_new
-    o_lav[0] = lav_new
-    o_ta[0] = t_a
-    o_tc[0] = t_c
-    o_tal[0] = t_al
+    o_la[...] = la_new
+    o_lam[...] = lam_new
+    o_lav[...] = lav_new
+    o_ta[...] = t_a_v
+    o_tc[...] = t_c_v
+    o_tal[...] = t_al_v
     o_lp[...] = lp1
     o_minq[...] = min_q
-    o_alpha[0] = alpha
+    o_alpha[...] = jnp.exp(log_alpha_v)
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Render the validation results matrix (RESULTS.jsonl) as the reference's
+sample-efficiency figure: one panel per environment, normalized-score
+learning curves per algorithm (reference README.md:124 equivalent,
+produced from this framework's real TPU validation runs).
+
+Tuned rows are preferred over untuned for the same cell (the reference's
+figure uses its optimised hyperparameters where published); multiple seeds
+are averaged pointwise over the common eval grid.
+
+Usage: python scripts/plot_results_matrix.py [--out figures/results_matrix.png]
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# Fixed categorical assignment (validated 8-hue order; color follows the
+# algorithm identity across panels, never the panel-local rank). SQIL is
+# AdRIL with update_freq=0, so it wears AdRIL's hue with a dashed line.
+PALETTE = {
+    "GAIL": "#2a78d6",
+    "PWIL": "#eb6834",
+    "AdRIL": "#1baf7a",
+    "BC": "#eda100",
+    "SAC": "#e87ba4",
+    "GMMIL": "#008300",
+    "DRIL": "#4a3aa7",
+    "RED": "#e34948",
+    "SQIL": "#1baf7a",
+}
+DASHED = {"SQIL"}
+ENVS = ["ant", "halfcheetah", "hopper", "walker2d"]
+ALG_ORDER = ["GAIL", "PWIL", "AdRIL", "SQIL", "BC", "SAC", "GMMIL", "DRIL", "RED"]
+
+
+def load_rows(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def pick_curves(rows):
+    """(alg, env) -> list of eval curves; tuned preferred over untuned."""
+    cells = {}
+    for r in rows:
+        key = (r["algorithm"], r["env"])
+        cells.setdefault(key, []).append(r)
+    out = {}
+    for key, rs in cells.items():
+        tuned = [r for r in rs if r.get("tuned")]
+        chosen = tuned or rs
+        curves = [r["eval_curve"] for r in chosen if r.get("eval_curve")]
+        if curves:
+            n = min(len(c) for c in curves)
+            out[key] = (
+                np.mean([c[:n] for c in curves], axis=0),
+                len(curves),
+                bool(tuned),
+            )
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--results", default=os.path.join(ROOT, "RESULTS.jsonl"))
+    p.add_argument(
+        "--out", default=os.path.join(ROOT, "figures", "results_matrix.png")
+    )
+    args = p.parse_args(argv)
+
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    curves = pick_curves(load_rows(args.results))
+    steps_total = 1_000_000
+
+    fig, axes = plt.subplots(2, 2, figsize=(11, 7), sharex=True, sharey=True)
+    ink, muted = "#1a1a19", "#6b6a60"
+    for ax, env in zip(axes.flat, ENVS):
+        for alg in ALG_ORDER:
+            item = curves.get((alg, env))
+            if item is None:
+                continue
+            curve, n_seeds, tuned = item
+            if len(curve) == 1:  # BC: one eval after pretraining -> flat line
+                curve = np.repeat(curve, 2)
+                x = np.array([0, steps_total])
+            else:
+                x = np.linspace(
+                    steps_total / len(curve), steps_total, len(curve)
+                )
+            ax.plot(
+                x,
+                curve,
+                color=PALETTE[alg],
+                lw=2,
+                ls="--" if alg in DASHED else "-",
+                solid_capstyle="round",
+            )
+        ax.set_title(env, color=ink, fontsize=11)
+        ax.axhline(1.0, color=muted, lw=0.8, ls=":", zorder=0)
+        ax.grid(True, color="#e8e6dc", lw=0.6, zorder=0)
+        ax.tick_params(colors=muted, labelsize=8)
+        for spine in ax.spines.values():
+            spine.set_color("#e8e6dc")
+        ax.set_xlim(0, steps_total)
+    for ax in axes[-1]:
+        ax.set_xlabel("environment steps", color=muted, fontsize=9)
+    for ax in axes[:, 0]:
+        ax.set_ylabel("D4RL-normalized score", color=muted, fontsize=9)
+
+    handles = [
+        plt.Line2D(
+            [0], [0], color=PALETTE[a], lw=2,
+            ls="--" if a in DASHED else "-",
+        )
+        for a in ALG_ORDER
+        if any((a, e) in curves for e in ENVS)
+    ]
+    labels = [a for a in ALG_ORDER if any((a, e) in curves for e in ENVS)]
+    fig.legend(
+        handles, labels, loc="lower center", ncol=min(len(labels), 9),
+        frameon=False, fontsize=9, labelcolor=ink,
+    )
+    fig.suptitle(
+        "iltpu learning validation — greedy-eval normalized score "
+        "(tuned HPs where available; dotted line = expert level)",
+        color=ink, fontsize=11,
+    )
+    fig.tight_layout(rect=(0, 0.06, 1, 0.97))
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    fig.savefig(args.out, dpi=150)
+    print(args.out)
+
+
+if __name__ == "__main__":
+    main()

@@ -115,12 +115,17 @@ def _gail_kernel(static, *refs):
     # update_spectral_norm: v <- normalize(W u); u <- normalize(W^T v)).
     if spectral_norm:
         def power_iter(w, u):
-            # matvecs as 2D matmuls (Mosaic-supported contraction shapes)
-            nv = jnp.dot(w, u[:, None], preferred_element_type=jnp.float32)[:, 0]
-            nv = nv / (jnp.sqrt(jnp.sum(nv * nv)) + 1e-12)
-            nu = jnp.dot(nv[None, :], w, preferred_element_type=jnp.float32)[0, :]
-            nu = nu / (jnp.sqrt(jnp.sum(nu * nu)) + 1e-12)
-            return nu, nv
+            # 2D column vectors throughout: Mosaic lowers 2D matmuls and
+            # full (to-scalar) reductions, but not 1D matvecs/norms.
+            u_col = u[:, None]  # (out, 1)
+            v_col = jnp.dot(w, u_col, preferred_element_type=jnp.float32)
+            v_col = v_col / (jnp.sqrt(jnp.sum(v_col * v_col)) + 1e-12)
+            u_col = jax.lax.dot_general(  # w^T v without a transpose op
+                w, v_col, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            u_col = u_col / (jnp.sqrt(jnp.sum(u_col * u_col)) + 1e-12)
+            return u_col[:, 0], v_col[:, 0]
 
         nu1, nv1 = power_iter(new_params[0], u1)
         nu2, nv2 = power_iter(new_params[2], u2)

@@ -230,3 +230,17 @@ def test_disc_pallas_update_path(tmp_path):
     score = trainer.run()
     assert np.isfinite(score)
     assert trainer.metrics["Q_values"]
+
+
+def test_on_device_loop_with_pallas_kernels(tmp_path):
+    """The fused kernels compose with the fully on-device lax.scan loop
+    (env_backend=jax + training.on_device_loop)."""
+    cfg = _cfg(
+        "algorithm=GAIL",
+        "training.on_device_loop=true",
+        "training.sac_pallas=true",
+        "training.disc_pallas=true",
+        "num_envs=4",
+    )
+    trainer = Trainer(cfg, str(tmp_path))
+    assert np.isfinite(trainer.run())

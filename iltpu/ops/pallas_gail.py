@@ -273,7 +273,7 @@ def gail_update_pallas(
     new_nu = put_moments(nu_full, *nv4)
     new_opt = _rebuild_opt_state(
         opt_state,
-        jnp.asarray(n_t[0], jnp.int32),
+        ast.count + 1,  # int32 authority; the kernel's f32 t is bias-corr only
         ravel_pytree(new_mu)[0],
         ravel_pytree(new_nu)[0],
     )

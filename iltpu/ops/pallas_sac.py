@@ -115,7 +115,7 @@ def _log_prob(ls, eps, z):
 
 
 def _sac_kernel(hyper: SACHyper, sizes, *refs):
-    (S, A, H, B) = sizes
+    (S, A, B) = sizes
     lr, wd, alpha_lr = hyper.lr, hyper.weight_decay, hyper.alpha_lr
     discount, H_target, rho = hyper.discount, hyper.entropy_target, hyper.polyak
 
@@ -177,7 +177,7 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
 
     # ---- TD target (training.py:19-25): no gradients anywhere ----------
     o2, _ = _mlp_fwd(s2, actor_W, actor_b)
-    mu2, _, ls2, sg2, z2 = _tanh_gaussian(o2, eps2, A)
+    _, _, ls2, _, z2 = _tanh_gaussian(o2, eps2, A)
     lp2 = _log_prob(ls2, eps2, z2)
     na = (1.0 - ab[:, None]) * jnp.tanh(z2)
     x2 = jnp.concatenate([s2, na], axis=-1)
@@ -211,7 +211,7 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
 
     # ---- Actor + temperature (training.py:33-49), vs the UPDATED critic -
     o1, actor_cache = _mlp_fwd(s, actor_W, actor_b)
-    mu1, l_raw1, ls1, sg1, z1 = _tanh_gaussian(o1, eps_new, A)
+    _, l_raw1, ls1, sg1, z1 = _tanh_gaussian(o1, eps_new, A)
     lp1 = _log_prob(ls1, eps_new, z1)
     a_new = jnp.tanh(z1)
     xn = jnp.concatenate([s, a_new], axis=-1)
@@ -337,7 +337,6 @@ def sac_update_pallas(
 
     S = learner.actor.state_size
     A = learner.actor.action_size
-    H = actor_net.hidden_size
     B = transitions["states"].shape[0]
 
     k_next, k_new = jax.random.split(key)
@@ -398,7 +397,7 @@ def sac_update_pallas(
         entropy_target=learner.entropy_target,
         polyak=learner.polyak_factor,
     )
-    kernel = partial(_sac_kernel, hyper, (S, A, H, B))
+    kernel = partial(_sac_kernel, hyper, (S, A, B))
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shapes,
@@ -413,22 +412,27 @@ def sac_update_pallas(
     new_ta, new_tc, new_tal = outs[45], outs[46], outs[47]
     lp, min_q, alpha = outs[48], outs[49], outs[50]
 
-    i32 = lambda x: jnp.asarray(x[0], jnp.int32)
+    # Counts increment in int32 HERE (the authority), not via the kernel's
+    # f32 round-trip — f32 would freeze at 2^24 updates. The kernel's f32 t
+    # is only the Adam bias-correction exponent (saturated ~1 long before
+    # that bound). The kernel count outputs (new_ta/new_tc/new_tal) exist
+    # for buffer aliasing and are intentionally unused.
+    del new_ta, new_tc, new_tal
     new_state = state.replace(
         actor_params=_tree6(new_a6),
         critic_params=_tree6(new_c6),
         target_critic_params=_tree6(new_t6),
         log_alpha=new_la,
         actor_opt=_rebuild_opt_state(
-            state.actor_opt, i32(new_ta),
+            state.actor_opt, ast.count + 1,
             ravel_pytree(_tree6(new_am6))[0], ravel_pytree(_tree6(new_av6))[0],
         ),
         critic_opt=_rebuild_opt_state(
-            state.critic_opt, i32(new_tc),
+            state.critic_opt, cst.count + 1,
             ravel_pytree(_tree6(new_cm6))[0], ravel_pytree(_tree6(new_cv6))[0],
         ),
         alpha_opt=_rebuild_opt_state(
-            state.alpha_opt, i32(new_tal), new_lam, new_lav
+            state.alpha_opt, alst.count + 1, new_lam, new_lav
         ),
     )
     aux = {

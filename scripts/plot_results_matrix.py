@@ -54,14 +54,30 @@ def pick_curves(rows):
     for key, rs in cells.items():
         tuned = [r for r in rs if r.get("tuned")]
         chosen = tuned or rs
-        curves = [r["eval_curve"] for r in chosen if r.get("eval_curve")]
-        if curves:
-            n = min(len(c) for c in curves)
-            out[key] = (
-                np.mean([c[:n] for c in curves], axis=0),
-                len(curves),
-                bool(tuned),
-            )
+        # Only average runs on the same eval grid (same steps AND same
+        # number of evals): mixing grids would misalign step positions.
+        chosen = [r for r in chosen if r.get("eval_curve")]
+        if not chosen:
+            continue
+        grid = max(
+            {(r["steps"], len(r["eval_curve"])) for r in chosen},
+            key=lambda g: sum(
+                1
+                for r in chosen
+                if (r["steps"], len(r["eval_curve"])) == g
+            ),
+        )
+        curves = [
+            r["eval_curve"]
+            for r in chosen
+            if (r["steps"], len(r["eval_curve"])) == grid
+        ]
+        out[key] = (
+            np.mean(curves, axis=0),
+            grid[0],
+            len(curves),
+            bool(tuned),
+        )
     return out
 
 
@@ -88,13 +104,13 @@ def main(argv=None):
             item = curves.get((alg, env))
             if item is None:
                 continue
-            curve, n_seeds, tuned = item
+            curve, run_steps, n_seeds, tuned = item
             if len(curve) == 1:  # BC: one eval after pretraining -> flat line
                 curve = np.repeat(curve, 2)
                 x = np.array([0, steps_total])
             else:
                 x = np.linspace(
-                    steps_total / len(curve), steps_total, len(curve)
+                    run_steps / len(curve), run_steps, len(curve)
                 )
             ax.plot(
                 x,

@@ -8,7 +8,13 @@
 set -u
 cd "$(dirname "$0")/.."
 LOG=logs/validation_queue.log
-until grep -q "queue done" "$LOG" 2>/dev/null; do sleep 60; done
+# Bounded wait: if phase 1 dies without its completion marker, start
+# anyway after 6h rather than spinning forever.
+waited=0
+until grep -q "queue done" "$LOG" 2>/dev/null || [ "$waited" -ge 21600 ]; do
+  sleep 60
+  waited=$((waited + 60))
+done
 run() {
   echo "=== $(date +%H:%M:%S) validate $*" >> "$LOG"
   timeout 5400 python scripts/validate_learning.py --steps 1000000 "$@" >> "$LOG" 2>&1

@@ -29,9 +29,18 @@ def _batch(key):
     }
 
 
-@pytest.mark.parametrize("spectral_norm", [True, False])
-@pytest.mark.parametrize("reward_function", ["AIRL", "GAIL"])
-def test_pallas_gail_matches_xla(spectral_norm, reward_function):
+@pytest.mark.parametrize(
+    "spectral_norm,reward_function,gp",
+    [
+        (True, "AIRL", GP),
+        (False, "AIRL", GP),
+        (True, "GAIL", GP),
+        (False, "GAIL", GP),
+        (True, "FAIRL", GP),
+        (True, "AIRL", 0.0),  # no-penalty branch
+    ],
+)
+def test_pallas_gail_matches_xla(spectral_norm, reward_function, gp):
     disc = GAILDiscriminator(
         S, A, hidden_size=64, depth=1, spectral_norm=spectral_norm,
         reward_function=reward_function,
@@ -43,7 +52,7 @@ def test_pallas_gail_matches_xla(spectral_norm, reward_function):
     actor_params = actor.init(jax.random.key(1))
     trans, expert = _batch(jax.random.key(2)), _batch(jax.random.key(3))
     key = jax.random.key(42)
-    cfg = AdversarialConfig(loss_function="BCE", grad_penalty=GP)
+    cfg = AdversarialConfig(loss_function="BCE", grad_penalty=gp)
 
     p_ref, o_ref = params, opt
     for i in range(3):  # chained: moments and SN vectors must track exactly
@@ -59,7 +68,7 @@ def test_pallas_gail_matches_xla(spectral_norm, reward_function):
         k = jax.random.fold_in(key, i)
         p_pl, o_pl, aux_pl, got_r = gail_update_pallas(
             disc, p_pl, o_pl, trans, expert, k,
-            grad_penalty=GP, learning_rate=LR, weight_decay=WD,
+            grad_penalty=gp, learning_rate=LR, weight_decay=WD,
             interpret=True,
         )
 

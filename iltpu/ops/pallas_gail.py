@@ -71,9 +71,9 @@ def _gail_kernel(static, *refs):
             w2 = w2 / jnp.sum((v2[:, None] * w2) * u2[None, :])
         x = jnp.concatenate([s, a], axis=-1)
         h = jnp.maximum(
-            jnp.dot(x, w1, preferred_element_type=jnp.float32) + b1, 0.0
+            jnp.dot(x, w1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) + b1, 0.0
         )
-        return (jnp.dot(h, w2, preferred_element_type=jnp.float32) + b2)[:, 0]
+        return (jnp.dot(h, w2, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) + b2)[:, 0]
 
     c_s = jnp.concatenate([e_s, p_s])
     c_a = jnp.concatenate([e_a, p_a])
@@ -118,11 +118,12 @@ def _gail_kernel(static, *refs):
             # 2D column vectors throughout: Mosaic lowers 2D matmuls and
             # full (to-scalar) reductions, but not 1D matvecs/norms.
             u_col = u[:, None]  # (out, 1)
-            v_col = jnp.dot(w, u_col, preferred_element_type=jnp.float32)
+            v_col = jnp.dot(w, u_col, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
             v_col = v_col / (jnp.sqrt(jnp.sum(v_col * v_col)) + 1e-12)
             u_col = jax.lax.dot_general(  # w^T v without a transpose op
                 w, v_col, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.DEFAULT,
             )
             u_col = u_col / (jnp.sqrt(jnp.sum(u_col * u_col)) + 1e-12)
             return u_col[:, 0], v_col[:, 0]

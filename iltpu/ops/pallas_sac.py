@@ -56,28 +56,28 @@ class SACHyper(NamedTuple):
 
 def _mlp_fwd(x, Ws, bs):
     """Depth-2 relu MLP forward; returns (out, cache for backward)."""
-    z1 = jnp.dot(x, Ws[0], preferred_element_type=jnp.float32) + bs[0]
+    z1 = jnp.dot(x, Ws[0], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) + bs[0]
     h1 = jnp.maximum(z1, 0.0)
-    z2 = jnp.dot(h1, Ws[1], preferred_element_type=jnp.float32) + bs[1]
+    z2 = jnp.dot(h1, Ws[1], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) + bs[1]
     h2 = jnp.maximum(z2, 0.0)
-    out = jnp.dot(h2, Ws[2], preferred_element_type=jnp.float32) + bs[2]
+    out = jnp.dot(h2, Ws[2], preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) + bs[2]
     return out, (x, z1, h1, z2, h2)
 
 
 def _mlp_bwd(dout, cache, Ws):
     """Backward of _mlp_fwd. Returns (param grads [dW,db]x3, dx)."""
     x, z1, h1, z2, h2 = cache
-    dW3 = jnp.dot(h2.T, dout, preferred_element_type=jnp.float32)
+    dW3 = jnp.dot(h2.T, dout, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     db3 = jnp.sum(dout, axis=0)
-    dh2 = jnp.dot(dout, Ws[2].T, preferred_element_type=jnp.float32)
+    dh2 = jnp.dot(dout, Ws[2].T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     dz2 = dh2 * (z2 > 0.0)
-    dW2 = jnp.dot(h1.T, dz2, preferred_element_type=jnp.float32)
+    dW2 = jnp.dot(h1.T, dz2, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     db2 = jnp.sum(dz2, axis=0)
-    dh1 = jnp.dot(dz2, Ws[1].T, preferred_element_type=jnp.float32)
+    dh1 = jnp.dot(dz2, Ws[1].T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     dz1 = dh1 * (z1 > 0.0)
-    dW1 = jnp.dot(x.T, dz1, preferred_element_type=jnp.float32)
+    dW1 = jnp.dot(x.T, dz1, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     db1 = jnp.sum(dz1, axis=0)
-    dx = jnp.dot(dz1, Ws[0].T, preferred_element_type=jnp.float32)
+    dx = jnp.dot(dz1, Ws[0].T, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     return (dW1, db1, dW2, db2, dW3, db3), dx
 
 

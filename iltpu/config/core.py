@@ -15,6 +15,7 @@ attribute access; `to_flat` serialises for logging/sweeps.
 
 import copy
 import os
+import re
 from typing import Any, Dict, List, Optional
 
 import yaml
@@ -129,6 +130,26 @@ def load_config(
     alg_overlays = _load_yaml("algorithms.yaml", conf_dir)
     cfg = deep_merge(cfg, alg_overlays.get(algorithm) or {})
     cfg["algorithm"] = algorithm
+
+    # The reference's exact overlay syntax (README.md:73-76):
+    # `optimised_hyperparameters=<ALG>_<N>_trajectories` selects the tuned
+    # overlay for (algorithm, N trajectories) — equivalent to `--tuned` with
+    # `imitation.trajectories=N`. Accepted verbatim so reference commands
+    # run unchanged.
+    opt_hp = overrides.pop("optimised_hyperparameters", None)
+    if opt_hp is not None and opt_hp != "null":
+        m = re.fullmatch(r"(\w+?)_(\d+)_trajectories", str(opt_hp))
+        assert m, (
+            "optimised_hyperparameters must be <ALG>_<N>_trajectories,"
+            f" got {opt_hp!r}"
+        )
+        assert m.group(1) == algorithm, (
+            f"optimised_hyperparameters names {m.group(1)} but"
+            f" algorithm={algorithm} (the reference also requires both,"
+            " README.md:73-74)"
+        )
+        overrides.setdefault("imitation.trajectories", int(m.group(2)))
+        use_tuned = True
 
     if use_tuned:
         trajectories = overrides.get(

@@ -67,6 +67,34 @@ def test_tuned_overlay_applies_per_trajectory_count():
     assert cfg2.imitation.loss_function == "BCE"
 
 
+def test_reference_optimised_hyperparameters_syntax():
+    # The reference's exact CLI (README.md:73-76) must work verbatim:
+    # optimised_hyperparameters=<ALG>_<N>_trajectories implies the tuned
+    # overlay AND imitation.trajectories=N.
+    cfg = load_config(
+        ["algorithm=GAIL", "optimised_hyperparameters=GAIL_5_trajectories"]
+    )
+    assert cfg.imitation.trajectories == 5
+    assert cfg.imitation.loss_function == "Mixup"
+    assert cfg.training.batch_size == 1024
+    # explicit trajectories override still wins over the implied count
+    cfg2 = load_config(
+        [
+            "algorithm=GAIL",
+            "optimised_hyperparameters=GAIL_5_trajectories",
+            "imitation.trajectories=5",
+        ]
+    )
+    assert cfg2.imitation.trajectories == 5
+    # mismatched algorithm is rejected (the reference requires both flags)
+    with pytest.raises(AssertionError):
+        load_config(
+            ["algorithm=BC", "optimised_hyperparameters=GAIL_5_trajectories"]
+        )
+    with pytest.raises(AssertionError):
+        load_config(["algorithm=GAIL", "optimised_hyperparameters=bogus"])
+
+
 @pytest.mark.parametrize("alg", ALGORITHMS)
 def test_all_algorithms_validate(alg):
     cfg = load_config([f"algorithm={alg}"])

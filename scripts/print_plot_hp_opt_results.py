@@ -56,10 +56,15 @@ def main(argv=None):
 
 
 def _numeric(series: pd.Series) -> np.ndarray:
-    """Map a parameter column to plottable floats (categoricals -> codes)."""
-    if series.dtype == object or series.dtype == bool:
+    """Map a parameter column to plottable floats (categoricals -> codes).
+
+    Robust across pandas versions: string columns are dtype `object` in
+    pandas<3 but a dedicated `str` dtype in pandas>=3, so detect by
+    convertibility rather than dtype identity."""
+    try:
+        return series.astype(float).to_numpy()
+    except (ValueError, TypeError):
         return pd.Categorical(series.astype(str)).codes.astype(float)
-    return series.astype(float).to_numpy()
 
 
 def _plot(df: pd.DataFrame, params, out: str):

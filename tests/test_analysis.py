@@ -91,6 +91,9 @@ def test_hp_opt_script_end_to_end(tmp_path):
                 "params": {
                     "training.learning_rate": float(10 ** rng.uniform(-4, -3)),
                     "imitation.balanced": bool(t % 2),
+                    # string categorical: pandas>=3 gives these a dedicated
+                    # `str` dtype (not object) — regression for _numeric
+                    "imitation.loss_function": ["BCE", "Mixup", "PUGAIL"][t % 3],
                 },
                 "min_score": float(rng.uniform()),
                 "per_env": {"hopper": 0.5},

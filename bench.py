@@ -55,7 +55,9 @@ def main():
     prng = os.environ.get("BENCH_PRNG", "rbg")  # hardware RNG: perf mode
     # Fused Pallas update kernels (iltpu/ops/pallas_{sac,gail}.py) — the
     # whole SAC step and the GAIL discriminator step as one kernel each.
-    pallas = os.environ.get("BENCH_PALLAS", "0") != "0"
+    # Default ON: measured 10649 env-steps/s vs 9263 for the XLA-fused
+    # path at 512 envs on the v5e bench chip (A/B 2026-08-21).
+    pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
 
     def make(n_steps, seed, skip=0):
         cfg = load_config(

@@ -550,6 +550,22 @@ class Trainer:
             # Reward prediction (train.py:188-198); PWIL rewards are already
             # in the replay (computed online at env-step time).
             if alg == "AdRIL":
+                # Diagnostics for the relabeller dynamics (Weak #1 of the
+                # round-2 review): staleness fraction of the sampled policy
+                # batch, live trajectory count, and post-relabel reward mean.
+                # Computed on the raw policy batch BEFORE mixing so the value
+                # is phase-independent of the balanced flip.
+                if icfg.update_freq > 0:
+                    _round = jnp.ceil(step / icfg.update_freq)
+                    _stale = _round > jnp.ceil(
+                        transitions["step"] / icfg.update_freq
+                    )
+                    aux["diag_adril_stale_frac"] = jnp.mean(
+                        _stale.astype(jnp.float32)
+                    )
+                aux["diag_num_trajectories"] = state[
+                    "replay"
+                ].num_trajectories.astype(jnp.float32)
                 out["relabel"], transitions = resample_and_relabel(
                     state["relabel"],
                     transitions,
@@ -559,6 +575,9 @@ class Trainer:
                     state["expert"].num_trajectories,
                     update_freq=icfg.update_freq,
                     balanced=icfg.balanced,
+                )
+                aux["diag_relabel_reward_mean"] = jnp.mean(
+                    transitions["rewards"]
                 )
             elif alg == "DRIL":
                 transitions = dict(transitions)
@@ -1009,6 +1028,9 @@ class Trainer:
         arrays (they are jit outputs, never donated) and kick off async
         device->host copies; `_flush_logs` materialises them later."""
         entry = {k: aux[k] for k in self._LOG_KEYS}
+        # Algorithm-specific scalar diagnostics ride along under diag_* keys
+        # (e.g. the AdRIL staleness/trajectory-count instrumentation).
+        entry.update({k: v for k, v in aux.items() if k.startswith("diag_")})
         for v in entry.values():
             if hasattr(v, "copy_to_host_async"):
                 v.copy_to_host_async()
@@ -1025,6 +1047,9 @@ class Trainer:
                 np.asarray(entry["entropies"]).tolist()
             )
             self.metrics["Q_values"].append(np.asarray(entry["Q_values"]).tolist())
+            for k, v in entry.items():
+                if k.startswith("diag_"):
+                    self.metrics.setdefault(k, []).append(float(v))
         self._log_queue.clear()
 
     def _record_eval(self, step: int):

@@ -40,7 +40,7 @@ def load_results():
 
 def cell_key(row):
     return (row["algorithm"], row["env"], row["trajectories"], row["seed"],
-            bool(row.get("tuned", False)))
+            bool(row.get("tuned", False)), int(row.get("num_envs", 256)))
 
 
 def render_md(rows):
@@ -92,9 +92,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=500_000)
     p.add_argument("--trajectories", type=int, default=10)
     p.add_argument("--seed", type=int, default=1)
+    # Reference eval protocol: 30 greedy episodes every 10k env steps
+    # (/root/reference/conf/train_config.yaml:21-23) so run-avg scores are
+    # comparable to the reference train() return / Ax objective.
     p.add_argument("--num-envs", type=int, default=256)
-    p.add_argument("--eval-episodes", type=int, default=10)
-    p.add_argument("--eval-interval", type=int, default=None)
+    p.add_argument("--eval-episodes", type=int, default=30)
+    p.add_argument("--eval-interval", type=int, default=10000)
     p.add_argument("--tuned", action="store_true")
     p.add_argument("--rerun", action="store_true", help="redo existing cells")
     p.add_argument("--platform", default=None, help="pin jax backend (tpu|cpu)")
@@ -118,7 +121,8 @@ def main(argv=None):
 
     for alg in args.algorithms.split(","):
         for env in args.envs.split(","):
-            key = (alg, env, args.trajectories, args.seed, bool(args.tuned))
+            key = (alg, env, args.trajectories, args.seed, bool(args.tuned),
+                   args.num_envs)
             if key in done and not args.rerun:
                 print(f"skip {key} (already in RESULTS.jsonl)")
                 continue
@@ -159,6 +163,9 @@ def main(argv=None):
                 "seed": args.seed,
                 "steps": args.steps,
                 "tuned": bool(args.tuned),
+                "num_envs": args.num_envs,
+                "eval_interval": eval_interval,
+                "eval_episodes": args.eval_episodes,
                 "final_normalized_score": final,
                 "last_normalized_score": norm_scores[-1] if norm_scores else final,
                 "best_normalized_score": max(norm_scores) if norm_scores else final,

@@ -136,8 +136,11 @@ def load_config(
     # overlay for (algorithm, N trajectories) — equivalent to `--tuned` with
     # `imitation.trajectories=N`. Accepted verbatim so reference commands
     # run unchanged.
+    # (`null` arrives as Python None already — parse_overrides YAML-parses
+    # values — so a plain None check suffices.)
     opt_hp = overrides.pop("optimised_hyperparameters", None)
-    if opt_hp is not None and opt_hp != "null":
+    tuned_n = None
+    if opt_hp is not None:
         m = re.fullmatch(r"(\w+?)_(\d+)_trajectories", str(opt_hp))
         assert m, (
             "optimised_hyperparameters must be <ALG>_<N>_trajectories,"
@@ -148,15 +151,30 @@ def load_config(
             f" algorithm={algorithm} (the reference also requires both,"
             " README.md:73-74)"
         )
-        overrides.setdefault("imitation.trajectories", int(m.group(2)))
+        # The NAMED overlay's hyperparameters apply even when
+        # imitation.trajectories is overridden separately (Hydra semantics:
+        # the config group is selected by name, the count is just a value).
+        tuned_n = int(m.group(2))
+        overrides.setdefault("imitation.trajectories", tuned_n)
         use_tuned = True
 
     if use_tuned:
-        trajectories = overrides.get(
-            "imitation.trajectories", get_by_path(cfg, "imitation.trajectories")
-        )
+        trajectories = tuned_n
+        if trajectories is None:
+            trajectories = overrides.get(
+                "imitation.trajectories",
+                get_by_path(cfg, "imitation.trajectories"),
+            )
         tuned = _load_yaml("tuned.yaml", conf_dir)
         overlay = (tuned.get(algorithm) or {}).get(trajectories)
+        if tuned_n is not None:
+            # An explicitly named overlay that doesn't exist must fail fast
+            # (the reference's Hydra config group does), not silently run
+            # with untuned hyperparameters.
+            assert overlay, (
+                f"no tuned overlay for {algorithm} at {trajectories}"
+                " trajectories (tuned.yaml)"
+            )
         if overlay:
             cfg = deep_merge(cfg, overlay)
 

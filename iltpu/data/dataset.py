@@ -38,6 +38,17 @@ def load_d4rl_hdf5(path: str) -> Dict[str, np.ndarray]:
     if "next_observations" not in data:
         obs = data["observations"]
         next_obs = np.concatenate([obs[1:], obs[-1:]], axis=0)
+        # The shift crosses trajectory boundaries: the last transition of
+        # trajectory k must NOT see the first observation of trajectory k+1.
+        # Patch every boundary (terminal-or-timeout) back to its own
+        # observation — the only in-dataset stand-in for the unrecorded
+        # successor (its value is masked by (1 - terminal) in the TD target
+        # for true terminals).
+        ends = np.flatnonzero(
+            np.asarray(data["terminals"]).reshape(-1).astype(bool)
+            | np.asarray(data["timeouts"]).reshape(-1).astype(bool)
+        )
+        next_obs[ends] = obs[ends]
         data["next_observations"] = next_obs
     return data
 

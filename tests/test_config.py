@@ -95,6 +95,36 @@ def test_reference_optimised_hyperparameters_syntax():
         load_config(["algorithm=GAIL", "optimised_hyperparameters=bogus"])
 
 
+def test_named_overlay_wins_over_trajectory_override():
+    # Hydra semantics: the NAMED overlay's hyperparameters apply; an explicit
+    # imitation.trajectories override changes only the count (round-2
+    # advisor finding on core.py:151).
+    cfg = load_config(
+        [
+            "algorithm=GAIL",
+            "optimised_hyperparameters=GAIL_5_trajectories",
+            "imitation.trajectories=10",
+        ]
+    )
+    assert cfg.imitation.trajectories == 10  # the count override wins
+    # ...but the GAIL_5 overlay's hyperparameters apply (GAIL_10 uses BCE
+    # with batch 256; GAIL_5 uses Mixup with batch 1024)
+    assert cfg.imitation.loss_function == "Mixup"
+    assert cfg.training.batch_size == 1024
+
+
+def test_named_overlay_missing_fails_fast():
+    # optimised_hyperparameters naming an absent (alg, N) pair must raise,
+    # not silently run untuned (round-2 advisor finding on core.py:159).
+    with pytest.raises(AssertionError):
+        load_config(
+            ["algorithm=GAIL", "optimised_hyperparameters=GAIL_7_trajectories"]
+        )
+    # the `null` sentinel still parses to no-op
+    cfg = load_config(["algorithm=GAIL", "optimised_hyperparameters=null"])
+    assert cfg.imitation.loss_function == "BCE"
+
+
 @pytest.mark.parametrize("alg", ALGORITHMS)
 def test_all_algorithms_validate(alg):
     cfg = load_config([f"algorithm={alg}"])

@@ -117,3 +117,61 @@ def test_expert_replay_roundtrip():
     assert int(rs.num_trajectories) == 2
     assert bool(rs.full)
     assert rs.states.shape[1] == 4  # 3 + indicator
+
+
+def test_hdf5_roundtrip_matches_direct_arrays(tmp_path):
+    """Golden contract (reference loader environments.py:63-125): HDF5 ->
+    build_expert_transitions equals the same arrays fed directly."""
+    import h5py
+
+    rng = np.random.default_rng(7)
+    data = random_d4rl_dataset(rng, [9, 6, 11], 3, 2)
+    path = tmp_path / "expert.hdf5"
+    with h5py.File(path, "w") as f:
+        for k, v in data.items():
+            f.create_dataset(k, data=v)
+
+    from iltpu.data.dataset import load_d4rl_hdf5
+
+    loaded = load_d4rl_hdf5(str(path))
+    for k in data:
+        np.testing.assert_array_equal(loaded[k], data[k])
+    tr_h5, n_h5 = build_expert_transitions(
+        loaded, trajectories=2, subsample=2, absorbing=True,
+        rng=np.random.default_rng(3),
+    )
+    tr_direct, n_direct = build_expert_transitions(
+        data, trajectories=2, subsample=2, absorbing=True,
+        rng=np.random.default_rng(3),
+    )
+    assert n_h5 == n_direct
+    for k in tr_direct:
+        np.testing.assert_array_equal(tr_h5[k], tr_direct[k])
+
+
+def test_hdf5_next_obs_reconstruction_respects_trajectory_boundaries(tmp_path):
+    """When next_observations is absent, the reconstruction must NOT leak
+    the first observation of trajectory k+1 into the last transition of
+    trajectory k (the round-2 review's Weak #6)."""
+    import h5py
+
+    data = _tiny_dataset()
+    path = tmp_path / "no_next.hdf5"
+    with h5py.File(path, "w") as f:
+        for k, v in data.items():
+            if k != "next_observations":
+                f.create_dataset(k, data=v)
+
+    from iltpu.data.dataset import load_d4rl_hdf5
+
+    loaded = load_d4rl_hdf5(str(path))
+    obs = data["observations"]
+    next_obs = loaded["next_observations"]
+    # interior transitions: shifted within the trajectory
+    np.testing.assert_array_equal(next_obs[0], obs[1])
+    np.testing.assert_array_equal(next_obs[1], obs[2])
+    np.testing.assert_array_equal(next_obs[3], obs[4])
+    # trajectory-final transitions (terminal idx 2, timeout idx 4): must be
+    # their OWN observation, not obs[3] (= the next trajectory's start)
+    np.testing.assert_array_equal(next_obs[2], obs[2])
+    np.testing.assert_array_equal(next_obs[4], obs[4])

@@ -244,3 +244,103 @@ def test_on_device_loop_with_pallas_kernels(tmp_path):
     )
     trainer = Trainer(cfg, str(tmp_path))
     assert np.isfinite(trainer.run())
+
+
+def test_tuned_overlays_reach_the_update_consumers(tmp_path):
+    """Round-2 review #4: assert the composed tuned config is applied
+    transition-for-transition — every knob the tuned overlays change must
+    land in the object that consumes it (learner, adv_cfg, discriminator
+    modules), and the batch the update actually samples must have the tuned
+    batch size."""
+    import math
+    import yaml
+
+    import iltpu
+
+    conf = os.path.join(
+        os.path.dirname(iltpu.__file__), "config", "conf", "tuned.yaml"
+    )
+    with open(conf) as f:
+        tuned = yaml.safe_load(f)
+    base = [
+        "env=pointmass",
+        "env_backend=jax",
+        "num_envs=4",
+        "evaluation.interval=100000",
+        "evaluation.episodes=2",
+        "memory.size=2000",
+    ]
+
+    # --- GAIL@10: end-to-end — tuned batch size reaches the sampled batch
+    ov = tuned["GAIL"][10]
+    cfg = load_config(
+        base + ["algorithm=GAIL", "imitation.trajectories=10", "steps=1100",
+                "logging.interval=50"],
+        use_tuned=True,
+    )
+    assert cfg.training.start == ov["training"]["start"]
+    t = Trainer(cfg, str(tmp_path / "gail"))
+    assert t.adv_cfg.loss_function == ov["imitation"]["loss_function"]
+    assert t.adv_cfg.grad_penalty == ov["imitation"]["grad_penalty"]
+    assert t.adv_cfg.entropy_bonus == ov["imitation"]["entropy_bonus"]
+    d = ov["imitation"]["discriminator"]
+    assert t.disc.g.hidden_size == d["hidden_size"]
+    assert t.disc.g.depth == d["depth"]
+    assert not t.disc.g.spectral_norm  # tuned GAIL@10: spectral_norm false
+    assert t.disc.reward_function == d["reward_function"]
+    assert t.learner.discount == ov["reinforcement"]["discount"]
+    assert t.learner.polyak_factor == ov["reinforcement"]["polyak_factor"]
+    assert t.learner.entropy_target == pytest.approx(
+        ov["reinforcement"]["target_temperature"] * t.env.action_size
+    )
+    assert t.learner.lr == ov["training"]["learning_rate"]
+    t.run()
+    # the update consumed batches of the tuned size (train.py:173 parity)
+    assert len(t.metrics["predicted_rewards"][0]) == ov["training"]["batch_size"]
+
+    # --- GMMIL@10: overlay only moves SAC hyperparameters
+    ov = tuned["GMMIL"][10]
+    cfg = load_config(
+        base + ["algorithm=GMMIL", "imitation.trajectories=10", "steps=10"],
+        use_tuned=True,
+    )
+    t = Trainer(cfg, str(tmp_path / "gmmil"))
+    assert t.learner.discount == ov["reinforcement"]["discount"]
+    assert t.learner.entropy_target == pytest.approx(
+        ov["reinforcement"]["target_temperature"] * t.env.action_size
+    )
+    assert t.learner.lr == ov["training"]["learning_rate"]
+    assert cfg.training.batch_size == ov["training"]["batch_size"]
+
+    # --- PWIL@10: reward scale/bandwidth must reach the discriminator
+    ov = tuned["PWIL"][10]
+    cfg = load_config(
+        base + ["algorithm=PWIL", "imitation.trajectories=10", "steps=10"],
+        use_tuned=True,
+    )
+    t = Trainer(cfg, str(tmp_path / "pwil"))
+    assert t.disc.reward_scale == ov["imitation"]["reward_scale"]
+    dim = t.env.obs_size + t.env.action_size
+    assert t.disc.reward_bandwidth == pytest.approx(
+        ov["imitation"]["reward_bandwidth_scale"]
+        * t.env.max_episode_steps
+        / math.sqrt(dim)
+    )
+    assert t.learner.polyak_factor == ov["reinforcement"]["polyak_factor"]
+
+    # --- DRIL@10: ensemble architecture + dropout + quantile + disc lr
+    ov = tuned["DRIL"][10]
+    cfg = load_config(
+        base + ["algorithm=DRIL", "imitation.trajectories=10", "steps=10"],
+        use_tuned=True,
+    )
+    t = Trainer(cfg, str(tmp_path / "dril"))
+    d = ov["imitation"]["discriminator"]
+    assert t.disc.net.hidden_size == d["hidden_size"]
+    assert t.disc.net.depth == d["depth"]
+    assert t.disc.net.dropout == d["dropout"]
+    assert t.disc.net.input_dropout == d["input_dropout"]
+    assert cfg.imitation.quantile_cutoff == ov["imitation"]["quantile_cutoff"]
+    assert cfg.imitation.pretraining.iterations == ov["imitation"]["pretraining"]["iterations"]
+    assert cfg.imitation.learning_rate == ov["imitation"]["learning_rate"]
+    assert cfg.imitation.weight_decay == ov["imitation"]["weight_decay"]

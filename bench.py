@@ -58,6 +58,20 @@ def main():
     # Default ON: measured 10649 env-steps/s vs 9263 for the XLA-fused
     # path at 512 envs on the v5e bench chip (A/B 2026-08-21).
     pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
+    # BENCH_TUNED=1: bench the QUALITY configuration — the tuned GAIL@10
+    # overlay (Mixup loss + AIRL reward head, batch 512, dropout arch) that
+    # produces the best validated scores (RESULTS.md), so the headline
+    # throughput claim covers the config you would actually run. The fused
+    # Pallas discriminator kernel specialises the BCE config only, so the
+    # discriminator update runs on the XLA-fused path here; the SAC step
+    # (unchanged depth-2 relu nets) still uses its Pallas kernel.
+    tuned = os.environ.get("BENCH_TUNED", "0") != "0"
+    if tuned:
+        pallas_disc = False
+        trajectories = 10  # select the validated GAIL_10 overlay
+    else:
+        pallas_disc = pallas
+        trajectories = 5
 
     def make(n_steps, seed, skip=0):
         cfg = load_config(
@@ -68,7 +82,7 @@ def main():
                 f"training.pipeline={str(pipeline).lower()}",
                 f"training.host_acting={str(host_acting).lower()}",
                 f"training.sac_pallas={str(pallas).lower()}",
-                f"training.disc_pallas={str(pallas).lower()}",
+                f"training.disc_pallas={str(pallas_disc).lower()}",
                 f"training.timing_skip_steps={skip}",
                 f"prng={prng}",
                 f"seed={seed}",
@@ -79,10 +93,11 @@ def main():
                 "evaluation.episodes=1",
                 "logging.interval=0",
                 "memory.size=100000",
-                "imitation.trajectories=5",
+                f"imitation.trajectories={trajectories}",
                 "check_time_usage=true",
                 "expert_data.source=synthetic",
-            ]
+            ],
+            use_tuned=tuned,
         )
         return Trainer(cfg, out_dir="/tmp/iltpu_bench", file_prefix=f"s{seed}_")
 
@@ -98,7 +113,11 @@ def main():
     print(
         json.dumps(
             {
-                "metric": "GAIL-hopper env-steps/s (1:1 step:update)",
+                "metric": (
+                    "GAIL-hopper tuned-config env-steps/s (1:1 step:update)"
+                    if tuned
+                    else "GAIL-hopper env-steps/s (1:1 step:update)"
+                ),
                 "value": round(value, 2),
                 "unit": "env-steps/s",
                 "vs_baseline": round(value / baseline, 3),

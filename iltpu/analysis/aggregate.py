@@ -88,6 +88,7 @@ def collect_seed_sweep(
     algorithm: str,
     envs: Sequence[str],
     prefix: str = "",
+    run_dirs_by_env: Optional[Dict[str, List[str]]] = None,
 ) -> Tuple[np.ndarray, np.ndarray, List[List[str]]]:
     """Build the (runs, envs, evals) normalized-score tensor from saved runs.
 
@@ -96,17 +97,26 @@ def collect_seed_sweep(
     `scripts/print_plot_seed_sweep_results.py:32-41`). Runs are aligned by
     sorted directory name; all runs of an env must share eval steps. Returns
     (steps, tensor, run_dirs).
+
+    `run_dirs_by_env` selects explicit run directories per env (e.g. the
+    out_dirs of RESULTS.jsonl rows for one configuration across seeds)
+    instead of globbing — globbing a directory that holds several
+    configurations (tuned/untuned, trajectory counts) would silently mix
+    them into one "runs" axis.
     """
     per_env_curves: List[np.ndarray] = []
     per_env_dirs: List[List[str]] = []
     steps_ref: Optional[np.ndarray] = None
     for env in envs:
         pattern = os.path.join(root, f"{algorithm}_{env}", "*")
-        run_dirs = sorted(
-            d
-            for d in glob.glob(pattern)
-            if os.path.isfile(os.path.join(d, prefix + "metrics.pkl"))
-        )
+        if run_dirs_by_env is not None:
+            run_dirs = list(run_dirs_by_env.get(env, []))
+        else:
+            run_dirs = sorted(
+                d
+                for d in glob.glob(pattern)
+                if os.path.isfile(os.path.join(d, prefix + "metrics.pkl"))
+            )
         if not run_dirs:
             raise FileNotFoundError(f"no runs found under {pattern}")
         curves = []

@@ -38,12 +38,98 @@ def main(argv=None):
     p.add_argument("--ci", type=float, default=0.95)
     p.add_argument("--out", default="sample_efficiency.png")
     p.add_argument("--json", action="store_true", help="print results as JSON")
+    p.add_argument(
+        "--from-results",
+        default=None,
+        metavar="RESULTS.jsonl",
+        help="select run dirs from RESULTS.jsonl rows matching one"
+        " configuration (prevents mixing tuned/untuned/trajectory-count"
+        " variants that share an output directory)",
+    )
+    p.add_argument("--trajectories", type=int, default=10)
+    p.add_argument(
+        "--tuned", default=None, choices=["yes", "no", "best"],
+        help="with --from-results: tuned rows, untuned rows, or per-(alg,"
+        " env) whichever variant has seed-1 data (best = prefer the"
+        " configuration RESULTS.md headlines)",
+    )
+    p.add_argument("--num-envs-filter", type=int, default=256)
     args = p.parse_args(argv)
+
+    def _rows_for(alg):
+        """RESULTS.jsonl rows for this algorithm at the filtered config,
+        grouped {env: [rows sorted by seed]}."""
+        with open(args.from_results) as f:
+            rows = [json.loads(l) for l in f if l.strip()]
+        rows = [
+            r
+            for r in rows
+            if r["algorithm"] == alg
+            and r["trajectories"] == args.trajectories
+            and int(r.get("num_envs", 256)) == args.num_envs_filter
+        ]
+        by_env = {}
+        for env in args.envs:
+            er = [r for r in rows if r["env"] == env]
+            if args.tuned in ("yes", "no"):
+                er = [r for r in er if bool(r.get("tuned")) == (args.tuned == "yes")]
+            elif args.tuned == "best":
+                # pick the variant with more seeds; tie-break on best score
+                tuned_r = [r for r in er if r.get("tuned")]
+                untuned_r = [r for r in er if not r.get("tuned")]
+                er = max(
+                    (tuned_r, untuned_r),
+                    key=lambda rs: (
+                        len(rs),
+                        max((r["best_normalized_score"] for r in rs), default=-1),
+                    ),
+                )
+            er.sort(key=lambda r: r["seed"])
+            by_env[env] = er
+        return by_env
+
+    def _row_steps(r):
+        iv = int(r.get("eval_interval") or max(r["steps"] // 10, 1))
+        return [(i + 1) * iv for i in range(len(r["eval_curve"]))]
+
+    def _tensor_from_rows(alg):
+        """(steps, tensor(runs, envs, evals)) from RESULTS.jsonl eval
+        curves. Each row is one seed's per-eval mean normalized score (the
+        per-seed statistic; artifact-wipe-proof — metrics.pkl from earlier
+        rounds may be gone). Curves on different eval cadences are aligned
+        on the intersection of their step grids."""
+        by_env = _rows_for(alg)
+        grids = [
+            set(_row_steps(r)) for env in args.envs for r in by_env[env]
+        ]
+        if not grids or not all(by_env[env] for env in args.envs):
+            missing = [env for env in args.envs if not by_env[env]]
+            raise FileNotFoundError(
+                f"{alg}: no RESULTS rows for envs {missing} at"
+                f" trajectories={args.trajectories}, tuned={args.tuned},"
+                f" num_envs={args.num_envs_filter}"
+            )
+        common = sorted(set.intersection(*grids))
+        assert common, f"{alg}: eval-step grids share no common points"
+        per_env = []
+        for env in args.envs:
+            rows_e = by_env[env]
+            curves_e = []
+            for r in rows_e:
+                lookup = dict(zip(_row_steps(r), r["eval_curve"]))
+                curves_e.append([lookup[s] for s in common])
+            per_env.append(np.asarray(curves_e))
+        n_runs = min(c.shape[0] for c in per_env)
+        tensor = np.stack([c[:n_runs] for c in per_env], axis=1)
+        return np.asarray(common), tensor
 
     results = {}
     curves = {}
     for alg in args.algorithms:
-        steps, tensor, _ = collect_seed_sweep(args.root, alg, args.envs)
+        if args.from_results:
+            steps, tensor = _tensor_from_rows(alg)
+        else:
+            steps, tensor, _ = collect_seed_sweep(args.root, alg, args.envs)
         n_runs, n_envs, n_evals = tensor.shape
         # Final-eval aggregate over (seeds, envs) — the headline number.
         point, lo, hi = stratified_bootstrap_ci(

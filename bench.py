@@ -59,19 +59,14 @@ def main():
     # path at 512 envs on the v5e bench chip (A/B 2026-08-21).
     pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
     # BENCH_TUNED=1: bench the QUALITY configuration — the tuned GAIL@10
-    # overlay (Mixup loss + AIRL reward head, batch 512, dropout arch) that
-    # produces the best validated scores (RESULTS.md), so the headline
-    # throughput claim covers the config you would actually run. The fused
-    # Pallas discriminator kernel specialises the BCE config only, so the
-    # discriminator update runs on the XLA-fused path here; the SAC step
-    # (unchanged depth-2 relu nets) still uses its Pallas kernel.
+    # overlay (Mixup loss + AIRL reward head, batch 512) that produces the
+    # best validated scores (RESULTS.md), so the headline throughput claim
+    # covers the config you would actually run. The fused Pallas
+    # discriminator kernel covers Mixup + entropy bonus + AIRL since
+    # round 3; BENCH_PALLAS=0 A/Bs the XLA-fused path for either config.
     tuned = os.environ.get("BENCH_TUNED", "0") != "0"
-    if tuned:
-        pallas_disc = False
-        trajectories = 10  # select the validated GAIL_10 overlay
-    else:
-        pallas_disc = pallas
-        trajectories = 5
+    pallas_disc = pallas
+    trajectories = 10 if tuned else 5  # tuned: the validated GAIL_10 overlay
 
     def make(n_steps, seed, skip=0):
         cfg = load_config(

@@ -13,11 +13,13 @@ come from `jax.value_and_grad` traced inside the kernel body: autodiff is a
 trace-time transformation, so the kernel still lowers to plain
 matmul/elementwise Mosaic ops.
 
-Scope (asserted by the wrapper): the production GAIL configuration —
-BCE loss, no Mixup/PUGAIL, no entropy bonus, no reward shaping, no
-subtract-log-pi, state+action input, depth-1 relu g-network. AdamW matches
-optax.flatten(optax.adamw) exactly (same bias-correction counts), and the
-spectral-norm step replicates `update_spectral_norm` (fcnn.py).
+Scope (asserted by the wrapper): the production BCE configuration AND the
+tuned quality configuration — loss in {BCE, Mixup(alpha)} with optional
+entropy bonus and any of the GAIL/AIRL/FAIRL reward heads — no PUGAIL, no
+reward shaping, no subtract-log-pi, state+action input, depth-1 relu
+g-network. AdamW matches optax.flatten(optax.adamw) exactly (same
+bias-correction counts), and the spectral-norm step replicates
+`update_spectral_norm` (fcnn.py).
 
 Equivalence is pinned by tests/test_pallas_gail.py against
 `adversarial_imitation_update` + `predict_reward`.
@@ -34,7 +36,8 @@ from iltpu.ops.pallas_sac import _adam_step, _adam_state, _rebuild_opt_state
 
 
 def _gail_kernel(static, *refs):
-    (B, grad_penalty, lr, wd, spectral_norm, reward_function) = static
+    (B, grad_penalty, lr, wd, spectral_norm, reward_function,
+     loss_function, entropy_bonus) = static
     it = iter(range(len(refs)))
 
     def take(n):
@@ -56,9 +59,13 @@ def _gail_kernel(static, *refs):
     e_s, e_a, e_w = es_ref[...], ea_ref[...], ew_ref[...]
     p_s, p_a, p_w = ps_ref[...], pa_ref[...], pw_ref[...]
     eps_gp = eps_ref[...]
-    # (2B,) [targets | weights] stacked as (2, 2B) to keep operands 2D-ish:
-    tgt = tgt_ref[0]
-    w_all = tgt_ref[1]
+    if loss_function == "BCE":
+        # (2B,) [targets | weights] stacked as (2, 2B) to keep operands
+        # 2D-ish:
+        tgt = tgt_ref[0]
+        w_all = tgt_ref[1]
+    else:  # Mixup: tgt_ref carries eps ~ Beta(alpha, alpha), shape (1, B)
+        eps_mix = tgt_ref[0]
     if spectral_norm:
         u1, v1, u2, v2 = (r[...] for r in sn)
 
@@ -75,18 +82,38 @@ def _gail_kernel(static, *refs):
         )
         return (jnp.dot(h, w2, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT) + b2)[:, 0]
 
-    c_s = jnp.concatenate([e_s, p_s])
-    c_a = jnp.concatenate([e_a, p_a])
+    if loss_function == "BCE":
+        c_s = jnp.concatenate([e_s, p_s])
+        c_a = jnp.concatenate([e_a, p_a])
+    else:  # Mixup (training.py:105-114): convex combos of expert/policy
+        c_s = eps_mix[:, None] * e_s + (1.0 - eps_mix[:, None]) * p_s
+        c_a = eps_mix[:, None] * e_a + (1.0 - eps_mix[:, None]) * p_a
+        m_w = eps_mix * e_w + (1.0 - eps_mix) * p_w
     g_s = eps_gp[:, None] * e_s + (1.0 - eps_gp[:, None]) * p_s
     g_a = eps_gp[:, None] * e_a + (1.0 - eps_gp[:, None]) * p_a
     g_w = eps_gp * e_w + (1.0 - eps_gp) * p_w
 
     def loss_fn(params):
         d = fwd(params, c_s, c_a)
-        # mean(e_w*bce(d_e,1)) + mean(p_w*bce(d_p,0)) written WITHOUT
-        # slicing d (the slice backward emits a 1D concat Mosaic cannot
-        # lower): one weighted sum against a [1]*B+[0]*B target vector.
-        loss = jnp.sum(w_all * (jax.nn.softplus(-d) + (1.0 - tgt) * d)) / B
+        if loss_function == "BCE":
+            # mean(e_w*bce(d_e,1)) + mean(p_w*bce(d_p,0)) written WITHOUT
+            # slicing d (the slice backward emits a 1D concat Mosaic cannot
+            # lower): one weighted sum against a [1]*B+[0]*B target vector.
+            loss = jnp.sum(w_all * (jax.nn.softplus(-d) + (1.0 - tgt) * d)) / B
+            ent_w = w_all
+        else:
+            # w*(eps*bce(d,1) + (1-eps)*bce(d,0)) = w*(softplus(-d)+(1-eps)d)
+            # — BCE-with-logits against the SOFT target eps, exactly the
+            # same algebraic form as the hard-target row above.
+            loss = (
+                jnp.sum(m_w * (jax.nn.softplus(-d) + (1.0 - eps_mix) * d)) / B
+            )
+            ent_w = m_w
+        if entropy_bonus > 0.0:
+            # -beta * mean(w * H(Bernoulli(logits=d))) over the same logits
+            # the loss used (training.py:130-132); H = softplus(d) - d*sig(d).
+            ent = jax.nn.softplus(d) - d * jax.nn.sigmoid(d)
+            loss = loss - entropy_bonus * jnp.sum(ent_w * ent) / B
         if grad_penalty > 0.0:
             def d_sum(s, a):
                 return jnp.sum(fwd(params, s, a))
@@ -161,11 +188,15 @@ def gail_update_pallas(
     grad_penalty: float,
     learning_rate: float,
     weight_decay: float,
+    loss_function: str = "BCE",
+    mixup_alpha: float = 1.0,
+    entropy_bonus: float = 0.0,
     interpret: bool = False,
 ) -> Tuple[Dict, tuple, Dict[str, jax.Array], jax.Array]:
     """Fused replacement for `adversarial_imitation_update` + the GAIL
     `predict_reward` pass. Returns (new_params, new_opt_state, aux,
-    rewards-for-the-policy-batch)."""
+    rewards-for-the-policy-batch). Covers the BCE production config AND
+    the tuned quality config (Mixup loss + entropy bonus + AIRL head)."""
     from jax.flatten_util import ravel_pytree
 
     g = discriminator.g
@@ -173,14 +204,16 @@ def gail_update_pallas(
     assert not discriminator.subtract_log_policy
     assert g.depth == 1 and g.activation == "relu"
     assert g.dropout == 0.0 and g.input_dropout == 0.0
+    assert loss_function in ("BCE", "Mixup")
 
     layers = disc_params["g"]["layers"]
     spectral_norm = "u" in layers[0]
     B = transitions["terminals"].shape[0]
 
     # Key convention of adversarial_imitation_update: (k_mixup, k_gp) split,
-    # eps_gp ~ U(0,1)^B from k_gp.
-    _, k_gp = jax.random.split(key)
+    # eps_mix ~ Beta(alpha, alpha)^B from k_mixup, eps_gp ~ U(0,1)^B from
+    # k_gp.
+    k_mixup, k_gp = jax.random.split(key)
     eps_gp = jax.random.uniform(k_gp, (B,))
 
     _, unravel = ravel_pytree(disc_params)
@@ -200,6 +233,21 @@ def gail_update_pallas(
     m4 = leaves4(mu_t)
     v4 = leaves4(nu_t)
     count = jnp.reshape(jnp.asarray(ast.count, jnp.float32), (1,))
+    if loss_function == "BCE":
+        tgt_op = jnp.stack(
+            [
+                jnp.concatenate([jnp.ones((B,)), jnp.zeros((B,))]),
+                jnp.concatenate(
+                    [expert_transitions["weights"], transitions["weights"]]
+                ),
+            ]
+        )  # (2, 2B): [BCE targets | weights] for the fused forward
+    else:
+        # (B,) then reshape: the draw must be bit-identical to the XLA
+        # path's `jax.random.beta(k_mixup, a, a, (B,))`.
+        tgt_op = jax.random.beta(
+            k_mixup, mixup_alpha, mixup_alpha, (B,)
+        ).reshape(1, B)
     batch = (
         expert_transitions["states"],
         expert_transitions["actions"],
@@ -208,14 +256,7 @@ def gail_update_pallas(
         transitions["actions"],
         transitions["weights"],
         eps_gp,
-        jnp.stack(
-            [
-                jnp.concatenate([jnp.ones((B,)), jnp.zeros((B,))]),
-                jnp.concatenate(
-                    [expert_transitions["weights"], transitions["weights"]]
-                ),
-            ]
-        ),  # (2, 2B): [BCE targets | weights] for the fused forward
+        tgt_op,
     )
     operands = (*p4, *sn4, *m4, *v4, count, *batch)
     n_state = 4 + len(sn4) + 4 + 4 + 1
@@ -232,6 +273,8 @@ def gail_update_pallas(
         float(weight_decay),
         spectral_norm,
         discriminator.reward_function,
+        loss_function,
+        float(entropy_bonus),
     )
     outs = pl.pallas_call(
         partial(_gail_kernel, static),

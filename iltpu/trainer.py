@@ -238,15 +238,15 @@ class Trainer:
                     f"(algorithm={self.alg})"
                 )
         # Fused Pallas GAIL discriminator step (iltpu/ops/pallas_gail.py):
-        # only the production GAIL configuration is specialised.
+        # the production BCE configuration and the tuned quality
+        # configuration (Mixup + entropy bonus + any reward head).
         self._disc_pallas = bool(cfg.training.get("disc_pallas", False))
         if self._disc_pallas:
             supported = self.alg == "GAIL"
             if supported:
                 d = cfg.imitation.discriminator
                 supported = (
-                    cfg.imitation.loss_function == "BCE"
-                    and cfg.imitation.entropy_bonus == 0
+                    cfg.imitation.loss_function in ("BCE", "Mixup")
                     and not d.reward_shaping
                     and not d.subtract_log_policy
                     and not cfg.imitation.state_only
@@ -256,9 +256,9 @@ class Trainer:
                 )
             if not supported:
                 raise ValueError(
-                    "training.disc_pallas=true supports only the BCE GAIL "
-                    "configuration (depth-1 relu, no shaping/log-pi/state-"
-                    "only/mixing/entropy-bonus); got "
+                    "training.disc_pallas=true supports the BCE and Mixup "
+                    "GAIL configurations (depth-1 relu, no shaping/log-pi/"
+                    "state-only/mixing); got "
                     f"algorithm={self.alg}"
                 )
 
@@ -522,6 +522,9 @@ class Trainer:
                         grad_penalty=icfg.grad_penalty,
                         learning_rate=icfg.learning_rate,
                         weight_decay=icfg.weight_decay,
+                        loss_function=icfg.loss_function,
+                        mixup_alpha=icfg.mixup_alpha,
+                        entropy_bonus=icfg.entropy_bonus,
                         interpret=jax.default_backend() != "tpu",
                     )
                 else:

@@ -88,3 +88,69 @@ def test_pallas_gail_matches_xla(spectral_norm, reward_function, gp):
     np.testing.assert_allclose(
         np.asarray(got_r), np.asarray(want_r), rtol=2e-5, atol=2e-6
     )
+
+
+@pytest.mark.parametrize(
+    "spectral_norm,reward_function,entropy_bonus",
+    [
+        (False, "AIRL", 0.0248),   # the tuned GAIL@10 quality config shape
+        (False, "GAIL", 0.0),
+        (True, "AIRL", 0.1),
+    ],
+)
+def test_pallas_gail_mixup_matches_xla(spectral_norm, reward_function,
+                                       entropy_bonus):
+    """Tuned-config coverage: Mixup loss (+ entropy bonus, AIRL head) must
+    match the XLA adversarial update leaf-for-leaf (round-2 review #7)."""
+    mixup_alpha, gp = 0.9, 0.436
+    disc = GAILDiscriminator(
+        S, A, hidden_size=64, depth=1, spectral_norm=spectral_norm,
+        reward_function=reward_function,
+    )
+    params = disc.init(jax.random.key(0))
+    optim = optax.flatten(optax.adamw(LR, weight_decay=WD))
+    opt = optim.init(params)
+    actor = SoftActor(S, A, hidden_size=16, depth=2)
+    actor_params = actor.init(jax.random.key(1))
+    trans, expert = _batch(jax.random.key(2)), _batch(jax.random.key(3))
+    key = jax.random.key(43)
+    cfg = AdversarialConfig(
+        loss_function="Mixup", grad_penalty=gp, mixup_alpha=mixup_alpha,
+        entropy_bonus=entropy_bonus,
+    )
+
+    p_ref, o_ref = params, opt
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        p_ref, o_ref, aux_ref = adversarial_imitation_update(
+            disc, actor, actor_params, p_ref, o_ref, optim,
+            trans, expert, k, cfg,
+        )
+    want_r = disc.predict_reward(p_ref, trans["states"], trans["actions"])
+
+    p_pl, o_pl = params, opt
+    for i in range(3):
+        k = jax.random.fold_in(key, i)
+        p_pl, o_pl, aux_pl, got_r = gail_update_pallas(
+            disc, p_pl, o_pl, trans, expert, k,
+            grad_penalty=gp, learning_rate=LR, weight_decay=WD,
+            loss_function="Mixup", mixup_alpha=mixup_alpha,
+            entropy_bonus=entropy_bonus, interpret=True,
+        )
+
+    for g, w in zip(jax.tree.leaves(p_pl), jax.tree.leaves(p_ref)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-6
+        )
+    for g, w in zip(jax.tree.leaves(o_pl), jax.tree.leaves(o_ref)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-5, atol=2e-6
+        )
+    np.testing.assert_allclose(
+        np.asarray(aux_pl["discriminator_loss"]),
+        np.asarray(aux_ref["discriminator_loss"]),
+        rtol=2e-5, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_r), np.asarray(want_r), rtol=2e-5, atol=2e-6
+    )

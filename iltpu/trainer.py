@@ -184,6 +184,17 @@ class Trainer:
 
         # --- Expert data ---------------------------------------------------
         raw = _load_expert_dataset(cfg, self.env)
+        if cfg.expert_data.get("terminals_to_timeouts", False):
+            # Make generated demos distribution-match the reference's D4RL
+            # expert-v2 data, whose trajectories end at the TIME LIMIT: ends
+            # become timeouts, so no absorbing wrap rewards the expert's
+            # death states (see conf/train.yaml expert_data docs).
+            raw = dict(raw)
+            t = np.asarray(raw["terminals"]).astype(bool)
+            raw["timeouts"] = (
+                np.asarray(raw["timeouts"]).astype(bool) | t
+            ).astype(np.float32)
+            raw["terminals"] = np.zeros_like(raw["timeouts"])
         transitions, n_traj = build_expert_transitions(
             raw,
             trajectories=cfg.imitation.trajectories,

@@ -40,7 +40,8 @@ def load_results():
 
 def cell_key(row):
     return (row["algorithm"], row["env"], row["trajectories"], row["seed"],
-            bool(row.get("tuned", False)), int(row.get("num_envs", 256)))
+            bool(row.get("tuned", False)), int(row.get("num_envs", 256)),
+            bool(row.get("data_fix", False)))
 
 
 def render_md(rows):
@@ -99,6 +100,11 @@ def main(argv=None):
     p.add_argument("--eval-episodes", type=int, default=30)
     p.add_argument("--eval-interval", type=int, default=10000)
     p.add_argument("--tuned", action="store_true")
+    p.add_argument(
+        "--data-fix", action="store_true",
+        help="expert_data.terminals_to_timeouts=true (distribution-match"
+        " D4RL's timeout-ended expert demos; see conf/train.yaml)",
+    )
     p.add_argument("--rerun", action="store_true", help="redo existing cells")
     p.add_argument("--platform", default=None, help="pin jax backend (tpu|cpu)")
     args = p.parse_args(argv)
@@ -122,7 +128,7 @@ def main(argv=None):
     for alg in args.algorithms.split(","):
         for env in args.envs.split(","):
             key = (alg, env, args.trajectories, args.seed, bool(args.tuned),
-                   args.num_envs)
+                   args.num_envs, bool(args.data_fix))
             if key in done and not args.rerun:
                 print(f"skip {key} (already in RESULTS.jsonl)")
                 continue
@@ -142,6 +148,8 @@ def main(argv=None):
                 f"evaluation.episodes={args.eval_episodes}",
                 "logging.interval=10000",
             ]
+            if args.data_fix:
+                overrides.append("expert_data.terminals_to_timeouts=true")
             cfg = load_config(overrides, use_tuned=args.tuned)
             stamp = datetime.datetime.now().strftime("%m-%d_%H-%M-%S")
             out_dir = os.path.join(
@@ -166,6 +174,7 @@ def main(argv=None):
                 "num_envs": args.num_envs,
                 "eval_interval": eval_interval,
                 "eval_episodes": args.eval_episodes,
+                "data_fix": bool(args.data_fix),
                 "final_normalized_score": final,
                 "last_normalized_score": norm_scores[-1] if norm_scores else final,
                 "best_normalized_score": max(norm_scores) if norm_scores else final,

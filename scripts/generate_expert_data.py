@@ -33,6 +33,20 @@ def main(argv=None):
     p.add_argument("--num-envs", type=int, default=8)
     p.add_argument("--env-backend", default="auto")
     p.add_argument("--platform", default=None, help="pin jax backend (tpu|cpu)")
+    p.add_argument(
+        "--from-checkpoint", default=None, metavar="AGENT_DIR",
+        help="skip training; roll out from a saved agent checkpoint"
+        " (the `agent/` dir a finished run writes)",
+    )
+    p.add_argument(
+        "--only-timeout-episodes", action="store_true",
+        help="keep only episodes that survive to the time limit (D4RL"
+        " expert-v2 demos are timeout-ended; terminal-ended demos poison"
+        " AdRIL/SQIL via the absorbing wrap)",
+    )
+    p.add_argument("--max-attempts", type=int, default=None,
+                   help="rollout attempts cap with --only-timeout-episodes"
+                   " (default: 10x episodes)")
     args = p.parse_args(argv)
 
     import jax
@@ -59,48 +73,94 @@ def main(argv=None):
             "imitation.trajectories=1",
         ]
     )
-    out_dir = os.path.join(os.path.dirname(args.out) or ".", "expert_training")
-    os.makedirs(out_dir, exist_ok=True)
-    trainer = Trainer(cfg, out_dir)
-    score = trainer.run()
-    print(f"expert trained: mean normalized score {score:.3f}")
-
-    # Greedy rollouts -> flat transition arrays with episode boundaries.
-    # Host-side inference: one params fetch, zero device calls per step.
     from iltpu.models.host_inference import host_greedy_fn
     from iltpu.trainer import _make_env
 
-    host_greedy = host_greedy_fn(trainer.actor, trainer.state["sac"].actor_params)
+    if args.from_checkpoint:
+        from iltpu.models import SoftActor
+        from iltpu.utils.checkpoint import load_checkpoint
+
+        env0 = _make_env(cfg, 1, args.seed)
+        raw_dim, act_dim = env0.obs_size, env0.action_size
+        env0.close()
+        ck, _ = load_checkpoint(args.from_checkpoint)
+        in_dim = int(ck["actor"]["layers"][0]["w"].shape[0])
+        rcfg = cfg.reinforcement
+        actor = SoftActor(
+            in_dim, act_dim,
+            rcfg.actor.hidden_size, rcfg.actor.depth, rcfg.actor.activation,
+        )
+        _greedy = host_greedy_fn(actor, ck["actor"])
+        if in_dim == raw_dim + 1:
+            # agent trained on absorbing-augmented obs: pad a 0 indicator
+            # bit for inference; the demo stores RAW observations (the
+            # loader re-wraps at consumption, like D4RL data)
+            def host_greedy(obs):
+                pad = np.zeros((obs.shape[0], 1), np.float32)
+                return _greedy(np.concatenate([obs, pad], axis=1))
+        else:
+            assert in_dim == raw_dim, (in_dim, raw_dim)
+            host_greedy = _greedy
+    else:
+        out_dir = os.path.join(
+            os.path.dirname(args.out) or ".", "expert_training"
+        )
+        os.makedirs(out_dir, exist_ok=True)
+        trainer = Trainer(cfg, out_dir)
+        score = trainer.run()
+        print(f"expert trained: mean normalized score {score:.3f}")
+        # Greedy rollouts -> flat transition arrays with episode boundaries.
+        # Host-side inference: one params fetch, zero device calls per step.
+        host_greedy = host_greedy_fn(
+            trainer.actor, trainer.state["sac"].actor_params
+        )
 
     env = _make_env(cfg, 1, args.seed + 7_654_321)
     cols = {k: [] for k in (
         "observations", "actions", "rewards", "next_observations",
         "terminals", "timeouts",
     )}
-    for ep in range(args.episodes):
-        obs = env.reset(args.seed + 1000 + ep)
+    kept, attempt = 0, 0
+    max_attempts = args.max_attempts or 10 * args.episodes
+    while kept < args.episodes and attempt < max_attempts:
+        obs = env.reset(args.seed + 1000 + attempt)
+        attempt += 1
         done = False
         ep_ret = 0.0
+        ep_cols = {k: [] for k in cols}
         while not done:
             action = host_greedy(np.asarray(obs))
             next_obs, r, term, to, obs_after = env.step(action)
-            cols["observations"].append(obs[0])
-            cols["actions"].append(action[0])
-            cols["rewards"].append(float(r[0]))
-            cols["next_observations"].append(next_obs[0])
-            cols["terminals"].append(float(term[0]))
-            cols["timeouts"].append(float(to[0]))
+            ep_cols["observations"].append(obs[0])
+            ep_cols["actions"].append(action[0])
+            ep_cols["rewards"].append(float(r[0]))
+            ep_cols["next_observations"].append(next_obs[0])
+            ep_cols["terminals"].append(float(term[0]))
+            ep_cols["timeouts"].append(float(to[0]))
             ep_ret += float(r[0])
             done = bool(term[0] or to[0])
             obs = obs_after
-        print(f"episode {ep}: return {ep_ret:.1f}")
+        timed_out = bool(ep_cols["timeouts"][-1])
+        if args.only_timeout_episodes and not timed_out:
+            print(f"attempt {attempt}: return {ep_ret:.1f}"
+                  f" ({len(ep_cols['rewards'])} steps, terminal) — dropped")
+            continue
+        kept += 1
+        for k in cols:
+            cols[k].extend(ep_cols[k])
+        print(f"episode {kept}/{args.episodes}: return {ep_ret:.1f}"
+              f" ({len(ep_cols['rewards'])} steps,"
+              f" {'timeout' if timed_out else 'terminal'})")
     env.close()
+    if kept < args.episodes:
+        print(f"WARNING: only {kept}/{args.episodes} episodes kept after"
+              f" {attempt} attempts")
 
     arrays = {k: np.asarray(v, np.float32) for k, v in cols.items()}
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     np.savez_compressed(args.out, **arrays)
     print(f"wrote {args.out}: {arrays['observations'].shape[0]} transitions, "
-          f"{args.episodes} episodes")
+          f"{kept} episodes")
     return args.out
 
 

@@ -175,3 +175,30 @@ def test_hdf5_next_obs_reconstruction_respects_trajectory_boundaries(tmp_path):
     # their OWN observation, not obs[3] (= the next trajectory's start)
     np.testing.assert_array_equal(next_obs[2], obs[2])
     np.testing.assert_array_equal(next_obs[4], obs[4])
+
+
+def test_terminals_to_timeouts_reclassification():
+    """expert_data.terminals_to_timeouts: trajectory ENDS become timeouts,
+    so the absorbing wrap adds no self-loops at expert death states (the
+    AdRIL/SQIL data-distribution repair; conf/train.yaml)."""
+    data = _tiny_dataset()
+    t = data["terminals"].astype(bool)
+    fixed = dict(data)
+    fixed["timeouts"] = (data["timeouts"].astype(bool) | t).astype(np.float32)
+    fixed["terminals"] = np.zeros_like(fixed["timeouts"])
+
+    tr, n = build_expert_transitions(
+        fixed, trajectories=0, subsample=1, absorbing=True
+    )
+    assert n == 2  # trajectory count preserved (split on terminal|timeout)
+    assert tr["states"].shape[0] == 5  # NO absorbing self-loops appended
+    assert float(tr["states"][:, -1].sum()) == 0.0  # no absorbing rows
+    assert float(tr["terminals"].sum()) == 0.0
+    assert float(tr["timeouts"].sum()) == 2.0
+
+    # unfixed: the terminal-ended trajectory gets wrapped (+1 row, absorbing)
+    tr0, _ = build_expert_transitions(
+        data, trajectories=0, subsample=1, absorbing=True
+    )
+    assert tr0["states"].shape[0] == 6
+    assert float(tr0["states"][:, -1].sum()) > 0

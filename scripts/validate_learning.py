@@ -31,11 +31,17 @@ RESULTS_MD = os.path.join(ROOT, "RESULTS.md")
 
 
 def load_results():
-    rows = []
+    """Rows deduped by cell key, LAST occurrence wins — the file is
+    append-only (concurrent runs each append one line; a whole-file
+    rewrite under concurrency clobbered rows once)."""
+    rows = {}
     if os.path.isfile(RESULTS_JSONL):
         with open(RESULTS_JSONL) as f:
-            rows = [json.loads(line) for line in f if line.strip()]
-    return rows
+            for line in f:
+                if line.strip():
+                    r = json.loads(line)
+                    rows[cell_key(r)] = r
+    return list(rows.values())
 
 
 def cell_key(row):
@@ -183,9 +189,8 @@ def main(argv=None):
                 "when": stamp,
             }
             rows = [r for r in rows if cell_key(r) != key] + [row]
-            with open(RESULTS_JSONL, "w") as f:
-                for r in rows:
-                    f.write(json.dumps(r) + "\n")
+            with open(RESULTS_JSONL, "a") as f:
+                f.write(json.dumps(row) + "\n")
             render_md(rows)
             print(json.dumps({k: row[k] for k in (
                 "algorithm", "env", "final_normalized_score",

@@ -47,7 +47,8 @@ def load_results():
 def cell_key(row):
     return (row["algorithm"], row["env"], row["trajectories"], row["seed"],
             bool(row.get("tuned", False)), int(row.get("num_envs", 256)),
-            bool(row.get("data_fix", False)))
+            bool(row.get("data_fix", False)), int(row.get("steps", 0)),
+            row.get("dataset") or "")
 
 
 def render_md(rows):
@@ -111,6 +112,12 @@ def main(argv=None):
         help="expert_data.terminals_to_timeouts=true (distribution-match"
         " D4RL's timeout-ended expert demos; see conf/train.yaml)",
     )
+    p.add_argument(
+        "--dataset-suffix", default="",
+        help="use data/<env>_expert<suffix>.npz (e.g. _v2 for demos"
+        " regenerated from the 3e6-step SAC with --only-timeout-episodes);"
+        " recorded in the cell key",
+    )
     p.add_argument("--rerun", action="store_true", help="redo existing cells")
     p.add_argument("--platform", default=None, help="pin jax backend (tpu|cpu)")
     args = p.parse_args(argv)
@@ -134,11 +141,14 @@ def main(argv=None):
     for alg in args.algorithms.split(","):
         for env in args.envs.split(","):
             key = (alg, env, args.trajectories, args.seed, bool(args.tuned),
-                   args.num_envs, bool(args.data_fix))
+                   args.num_envs, bool(args.data_fix), args.steps,
+                   args.dataset_suffix and f"{env}_expert{args.dataset_suffix}")
             if key in done and not args.rerun:
                 print(f"skip {key} (already in RESULTS.jsonl)")
                 continue
-            data_path = os.path.join(ROOT, "data", f"{env}_expert.npz")
+            data_path = os.path.join(
+                ROOT, "data", f"{env}_expert{args.dataset_suffix}.npz"
+            )
             if not os.path.isfile(data_path):
                 print(f"skip {key}: no expert data at {data_path}")
                 continue
@@ -181,6 +191,10 @@ def main(argv=None):
                 "eval_interval": eval_interval,
                 "eval_episodes": args.eval_episodes,
                 "data_fix": bool(args.data_fix),
+                "dataset": (
+                    f"{env}_expert{args.dataset_suffix}"
+                    if args.dataset_suffix else ""
+                ),
                 "final_normalized_score": final,
                 "last_normalized_score": norm_scores[-1] if norm_scores else final,
                 "best_normalized_score": max(norm_scores) if norm_scores else final,

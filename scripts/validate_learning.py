@@ -62,18 +62,23 @@ def render_md(rows):
         "runs are the parity evidence for this framework. Produced by",
         "`scripts/validate_learning.py`; raw rows in RESULTS.jsonl.",
         "",
-        "| algorithm | env | traj | seed | tuned | steps | run-avg score |"
-        " end-of-training | best | out_dir |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| algorithm | env | traj | seed | tuned | n_env | data | steps |"
+        " run-avg score | end-of-training | best | out_dir |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in sorted(rows, key=cell_key):
+        data = r.get("dataset") or ""
+        if r.get("data_fix"):
+            data = (data + " +fix").strip()
         lines.append(
             "| {algorithm} | {env} | {trajectories} | {seed} | {tuned} |"
-            " {steps} |"
+            " {n_env} | {data} | {steps} |"
             " {final:.3f} | {last:.3f} | {best:.3f} | {out_dir} |".format(
                 **{
                     **r,
                     "tuned": "yes" if r.get("tuned") else "no",
+                    "n_env": r.get("num_envs", 256),
+                    "data": data or "default",
                     "final": r["final_normalized_score"],
                     "last": r.get("last_normalized_score",
                                   r["final_normalized_score"]),
@@ -86,7 +91,12 @@ def render_md(rows):
         "run-avg = mean normalized score over every eval in the run (the"
         " reference's `train()` return / Ax objective, train.py:243);"
         " end-of-training = the last eval point (what the reference's"
-        " figure shows at 1M steps)."
+        " figure shows at 1M steps). data `+fix` ="
+        " expert_data.terminals_to_timeouts (label repair for"
+        " terminal-ended generated demos; docs/ADRIL_ROOTCAUSE.md);"
+        " `*_expert_v2` = demos regenerated from the 3e6-step SAC expert"
+        " with --only-timeout-episodes (distribution-matches D4RL"
+        " expert-v2)."
     )
     lines.append("")
     with open(RESULTS_MD, "w") as f:

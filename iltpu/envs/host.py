@@ -128,10 +128,13 @@ def render_rollout(
     absorbing: bool = True,
     seed: int = 0,
     max_frames: int = 500,
+    gif_path: str = None,
+    fps: int = 30,
 ) -> int:
     """Greedy rollout with rgb_array frame capture, saved as a compressed
     npz stack (reference `evaluation.py` renders live; headless TPU hosts
-    save frames instead). Returns the number of frames written."""
+    save frames instead — pass `gif_path` for a watchable animated GIF).
+    Returns the number of frames written."""
     import os
 
     os.environ.setdefault("MUJOCO_GL", "egl")  # headless GPU-less rendering
@@ -149,8 +152,27 @@ def render_rollout(
         if terminated or truncated:
             break
     env.close()
-    np.savez_compressed(out_path, frames=np.stack(frames).astype(np.uint8))
+    stack = np.stack(frames).astype(np.uint8)
+    np.savez_compressed(out_path, frames=stack)
+    if gif_path:
+        save_frames_gif(stack, gif_path, fps=fps)
     return len(frames)
+
+
+def save_frames_gif(frames: np.ndarray, gif_path: str, fps: int = 30) -> None:
+    """Write an (N, H, W, 3) uint8 frame stack as an animated GIF — the
+    watchable form of the reference's live `env.render()` loop
+    (evaluation.py:21,26) for headless hosts."""
+    from PIL import Image
+
+    imgs = [Image.fromarray(f) for f in frames]
+    imgs[0].save(
+        gif_path,
+        save_all=True,
+        append_images=imgs[1:],
+        duration=max(1000 // fps, 10),
+        loop=0,
+    )
 
 
 def evaluate_policy(

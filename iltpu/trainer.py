@@ -1465,6 +1465,9 @@ class Trainer:
                     os.path.join(self.out_dir, self.prefix + "rollout.npz"),
                     absorbing=cfg.imitation.absorbing,
                     seed=cfg.seed + 39916801,
+                    gif_path=os.path.join(
+                        self.out_dir, self.prefix + "rollout.gif"
+                    ),
                 )
             except Exception as e:  # headless hosts without EGL etc.
                 print(f"render skipped: {e}")

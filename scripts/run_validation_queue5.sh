@@ -21,13 +21,17 @@ run() {
 # SAC at the reference 3e6 horizon (VERDICT #6) — also the expert-data
 # regeneration source for the AdRIL durable fix
 RUN_STEPS=3000000 RUN_TIMEOUT=12000 run --algorithms SAC --envs hopper --eval-interval 30000
-# Trajectory dimension + multi-seed on the headline methods (VERDICT #2)
-run --algorithms GAIL --envs hopper --tuned --trajectories 25
-run --algorithms GAIL --envs hopper --tuned --trajectories 5
-run --algorithms GAIL --envs hopper --tuned --seed 2
-run --algorithms GAIL --envs hopper --tuned --seed 3
+# Cheap BC trajectory cells first (pretrain-only, ~5 min each)
 run --algorithms BC --envs hopper --trajectories 25
 run --algorithms BC --envs hopper --trajectories 5
+run --algorithms BC --envs walker2d --trajectories 25
+run --algorithms BC --envs walker2d --trajectories 5
+# Multi-seed on the headline GAIL cell (CI figure input, VERDICT #2)
+run --algorithms GAIL --envs hopper --tuned --seed 2
+run --algorithms GAIL --envs hopper --tuned --seed 3
+# Trajectory dimension (VERDICT #2)
+run --algorithms GAIL --envs hopper --tuned --trajectories 25
+run --algorithms GAIL --envs hopper --tuned --trajectories 5
 run --algorithms PWIL --envs hopper --trajectories 25
 run --algorithms PWIL --envs hopper --trajectories 5
 run --algorithms PWIL --envs hopper --seed 2
@@ -47,6 +51,4 @@ run --algorithms AdRIL --envs walker2d
 # walker2d trajectory dimension
 run --algorithms GAIL --envs walker2d --tuned --trajectories 25
 run --algorithms GAIL --envs walker2d --tuned --trajectories 5
-run --algorithms BC --envs walker2d --trajectories 25
-run --algorithms BC --envs walker2d --trajectories 5
 echo "=== queue5 done $(date +%H:%M:%S)" >> "$LOG"

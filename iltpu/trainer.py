@@ -1074,6 +1074,22 @@ class Trainer:
         self.metrics["test_steps"].append(step)
         self.metrics["test_returns"].append(test_returns)
         self.metrics["test_returns_normalized"].append(normalized)
+        # Keep the BEST-eval agent snapshot alongside the final one the
+        # reference saves (train.py:237 saves only at the end — on spiky
+        # envs like hopper the final snapshot can be a dip, which is the
+        # wrong artifact for demo generation or deployment).
+        if self.score[-1] >= max(self.score):
+            sac = self.state["sac"]
+            save_checkpoint(
+                os.path.join(self.out_dir, self.prefix + "agent_best"),
+                {
+                    "actor": sac.actor_params,
+                    "critic": sac.critic_params,
+                    "log_alpha": sac.log_alpha,
+                    "step": np.asarray(step),
+                    "score": np.asarray(self.score[-1]),
+                },
+            )
         self._plots()
 
     def _plots(self):

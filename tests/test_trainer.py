@@ -344,3 +344,18 @@ def test_tuned_overlays_reach_the_update_consumers(tmp_path):
     assert cfg.imitation.pretraining.iterations == ov["imitation"]["pretraining"]["iterations"]
     assert cfg.imitation.learning_rate == ov["imitation"]["learning_rate"]
     assert cfg.imitation.weight_decay == ov["imitation"]["weight_decay"]
+
+
+def test_best_eval_agent_checkpoint(tmp_path):
+    """The best-eval agent snapshot is saved alongside the final agent
+    (the reference saves only the final one, train.py:237 — a dip on
+    spiky envs)."""
+    cfg = _cfg("algorithm=SAC")
+    t = Trainer(cfg, str(tmp_path))
+    t.run()
+    assert os.path.isdir(tmp_path / "agent_best")
+    from iltpu.utils.checkpoint import load_checkpoint
+
+    ck, _ = load_checkpoint(str(tmp_path / "agent_best"))
+    assert "actor" in ck and "score" in ck
+    assert float(ck["score"]) == max(t.score)

@@ -244,10 +244,14 @@ def gail_update_pallas(
         )  # (2, 2B): [BCE targets | weights] for the fused forward
     else:
         # (B,) then reshape: the draw must be bit-identical to the XLA
-        # path's `jax.random.beta(k_mixup, a, a, (B,))`.
-        tgt_op = jax.random.beta(
-            k_mixup, mixup_alpha, mixup_alpha, (B,)
-        ).reshape(1, B)
+        # path's (adversarial.py). Beta(1,1) == Uniform(0,1) exactly; the
+        # closed form avoids jax.random.beta's double gamma rejection
+        # sampler, which dominates the fused update scan on TPU.
+        if mixup_alpha == 1.0:
+            eps = jax.random.uniform(k_mixup, (B,))
+        else:
+            eps = jax.random.beta(k_mixup, mixup_alpha, mixup_alpha, (B,))
+        tgt_op = eps.reshape(1, B)
     batch = (
         expert_transitions["states"],
         expert_transitions["actions"],

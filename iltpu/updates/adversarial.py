@@ -104,9 +104,16 @@ def adversarial_imitation_update(
     lp_e, lp_p = log_pi(e_s, e_a), log_pi(p_s, p_a)
 
     if cfg.loss_function == "Mixup":
-        eps_mix = jax.random.beta(
-            k_mixup, cfg.mixup_alpha, cfg.mixup_alpha, (batch_size,)
-        )
+        # Beta(1,1) IS Uniform(0,1): jax.random.beta goes through TWO gamma
+        # rejection samplers (while_loops of transcendentals) — measured to
+        # dominate the whole fused update scan on TPU (~200x) — so take the
+        # exact closed form at the default/tuned alpha=1.
+        if cfg.mixup_alpha == 1.0:
+            eps_mix = jax.random.uniform(k_mixup, (batch_size,))
+        else:
+            eps_mix = jax.random.beta(
+                k_mixup, cfg.mixup_alpha, cfg.mixup_alpha, (batch_size,)
+            )
         m_s, m_a = _mix(e_s, p_s, eps_mix), _mix(e_a, p_a, eps_mix)
         m_s2, m_term = _mix(e_s2, p_s2, eps_mix), _mix(e_term, p_term, eps_mix)
         m_w = _mix(e_w, p_w, eps_mix)

@@ -91,18 +91,20 @@ def test_pallas_gail_matches_xla(spectral_norm, reward_function, gp):
 
 
 @pytest.mark.parametrize(
-    "spectral_norm,reward_function,entropy_bonus",
+    "spectral_norm,reward_function,entropy_bonus,mixup_alpha",
     [
-        (False, "AIRL", 0.0248),   # the tuned GAIL@10 quality config shape
-        (False, "GAIL", 0.0),
-        (True, "AIRL", 0.1),
+        (False, "AIRL", 0.0248, 1.0),  # the tuned GAIL@10 quality config
+        (False, "GAIL", 0.0, 0.9),     # non-unit alpha: real Beta draw
+        (True, "AIRL", 0.1, 1.0),
     ],
 )
 def test_pallas_gail_mixup_matches_xla(spectral_norm, reward_function,
-                                       entropy_bonus):
+                                       entropy_bonus, mixup_alpha):
     """Tuned-config coverage: Mixup loss (+ entropy bonus, AIRL head) must
-    match the XLA adversarial update leaf-for-leaf (round-2 review #7)."""
-    mixup_alpha, gp = 0.9, 0.436
+    match the XLA adversarial update leaf-for-leaf (round-2 review #7).
+    alpha=1 exercises the exact Beta(1,1)==Uniform closed form both paths
+    substitute for TPU speed."""
+    gp = 0.436
     disc = GAILDiscriminator(
         S, A, hidden_size=64, depth=1, spectral_norm=spectral_norm,
         reward_function=reward_function,

@@ -42,8 +42,15 @@ def load_d4rl_hdf5(path: str) -> Dict[str, np.ndarray]:
         # trajectory k must NOT see the first observation of trajectory k+1.
         # Patch every boundary (terminal-or-timeout) back to its own
         # observation — the only in-dataset stand-in for the unrecorded
-        # successor (its value is masked by (1 - terminal) in the TD target
-        # for true terminals).
+        # successor. For true terminals the patched value is masked by
+        # (1 - terminal) in the TD target; for TIMEOUT boundaries it is
+        # not, so if expert transitions enter the critic batch
+        # (SQIL/AdRIL mixed batches) those rows bootstrap from a
+        # self-loop target gamma*V(s_T) evaluated at s_T itself. This is
+        # a known approximation of the fallback ONLY: every real D4RL
+        # `*-expert-v2` release ships next_observations, so the
+        # reference distribution never exercises this path (it exists
+        # for truncated third-party HDF5 exports).
         ends = np.flatnonzero(
             np.asarray(data["terminals"]).reshape(-1).astype(bool)
             | np.asarray(data["timeouts"]).reshape(-1).astype(bool)

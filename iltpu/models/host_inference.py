@@ -89,8 +89,10 @@ class HostActor:
         """Begin an async device->host copy of the actor params."""
         pending = [(l["w"], l["b"]) for l in params["layers"]]
         for w, b in pending:
-            w.copy_to_host_async()
-            b.copy_to_host_async()
+            # No-op for host (numpy) params, e.g. checkpoint reloads.
+            if hasattr(w, "copy_to_host_async"):
+                w.copy_to_host_async()
+                b.copy_to_host_async()
         self._pending = pending
 
     def refresh(self):

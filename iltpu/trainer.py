@@ -1078,7 +1078,10 @@ class Trainer:
         # reference saves (train.py:237 saves only at the end — on spiky
         # envs like hopper the final snapshot can be a dip, which is the
         # wrong artifact for demo generation or deployment).
-        if self.score[-1] >= max(self.score):
+        # Strict improvement after the first save: `>=` rewrote the
+        # snapshot on every tying eval (e.g. repeated 0.0 early scores),
+        # paying host syncs + I/O for no new information.
+        if self.score[-1] > max(self.score[:-1], default=float("-inf")):
             sac = self.state["sac"]
             save_checkpoint(
                 os.path.join(self.out_dir, self.prefix + "agent_best"),
@@ -1446,6 +1449,12 @@ class Trainer:
                 self.metrics["alphas"].append(float(aux["alphas"]))
                 self.metrics["entropies"].append(np.asarray(aux["entropies"]).tolist())
                 self.metrics["Q_values"].append(np.asarray(aux["Q_values"]).tolist())
+                # Algorithm diagnostics (diag_*: AdRIL staleness etc.) ride
+                # along here too, mirroring _enqueue_log — on_device_loop
+                # runs previously lacked what adril_diagnosis.py reads.
+                for k, v in aux.items():
+                    if k.startswith("diag_"):
+                        self.metrics.setdefault(k, []).append(float(v))
 
             if (
                 step // cfg.evaluation.interval > evals_done

@@ -116,6 +116,7 @@ class Trial:
     index: int
     params: Dict
     value: Optional[float] = None
+    method: str = "sobol"  # "sobol" | "gp-ei": which acquisition proposed it
 
 
 @dataclass
@@ -147,11 +148,11 @@ class BayesOpt:
     def ask(self) -> Trial:
         i = len(self.trials)
         if i < self.sobol_trials or sum(t.value is not None for t in self.trials) < 3:
-            u = self._sobol.random(1)[0]
+            u, method = self._sobol.random(1)[0], "sobol"
         else:
-            u = self._acquire()
+            u, method = self._acquire(), "gp-ei"
         params = self._decode(u)
-        trial = Trial(index=i, params=params)
+        trial = Trial(index=i, params=params, method=method)
         self.trials.append(trial)
         return trial
 

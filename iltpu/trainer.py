@@ -1400,6 +1400,10 @@ class Trainer:
         )
         step = self.start_step
         base_key = self.key
+        # Steady-state throughput window (same contract as the host loop's
+        # training.timing_skip_steps, measured at chunk granularity).
+        timing_skip = int(cfg.training.get("timing_skip_steps", 0) or 0)
+        steady_t0 = steady_step0 = None
 
         # One steady-state chunk size (single compile per updates_per_iter
         # variant); metric/eval/checkpoint cadences tolerate overshoot the
@@ -1435,6 +1439,9 @@ class Trainer:
                     self.metrics["train_returns"].append([float(train_return[e])])
                     train_return[e] = 0.0
             step += n_iters * N
+            if steady_t0 is None and timing_skip and step >= timing_skip:
+                jax.block_until_ready(self.state["sac"].log_alpha)
+                steady_t0, steady_step0 = time.time(), step
 
             if (
                 upi > 0
@@ -1470,6 +1477,12 @@ class Trainer:
                 checks_done = step // cfg.checkpointing.interval
                 self._checkpoint(step)
 
+        if steady_t0 is not None:
+            # np.asarray(rewards) above already fetch-synced the last chunk
+            # (block_until_ready is not a reliable sync on this platform,
+            # docs/PERF.md), so wall-clock here closes the window exactly.
+            self.metrics["steady_env_steps"] = step - steady_step0
+            self.metrics["steady_time"] = time.time() - steady_t0
         self.step_done = step
 
     def _finish(self):

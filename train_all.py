@@ -14,9 +14,14 @@ space (`iltpu/config/conf/search_space.yaml`) using the in-repo Sobol+GP-EI
 optimiser (`iltpu.sweep` — Ax is unavailable here), with the reference's
 early stop after 5 non-improving trials.
 
+`--envs a,b` restricts the trial objective to a subset (e.g. a cheap
+hopper-only sweep: the reference's 4-env x 30-trial workflow costs ~120
+full trainings; a single-env objective keeps the GP/EI path exercised at
+a fraction of that).
+
 Usage:
   python train_all.py algorithm=GAIL imitation.trajectories=5 [--serial]
-  python train_all.py algorithm=GAIL --sweep 30 [--serial]
+  python train_all.py algorithm=GAIL --sweep 30 [--serial] [--envs hopper]
 """
 
 import json
@@ -41,17 +46,18 @@ def _run_one(packed):
     return train(cfg, env_dir)
 
 
-def run_trial(overrides, out_dir, serial=False):
-    """Train all envs with one shared seed; return min-over-envs score."""
+def run_trial(overrides, out_dir, serial=False, envs=None):
+    """Train the envs with one shared seed; return min-over-envs score."""
     os.makedirs(out_dir, exist_ok=True)
-    jobs = [(env, overrides, out_dir) for env in ENVS]
+    envs = envs or ENVS
+    jobs = [(env, overrides, out_dir) for env in envs]
     if serial:
         scores = [_run_one(j) for j in jobs]
     else:
         ctx = mp.get_context("forkserver")
-        with ctx.Pool(len(ENVS)) as pool:
+        with ctx.Pool(len(jobs)) as pool:
             scores = pool.map(_run_one, jobs)
-    return float(min(scores)), dict(zip(ENVS, scores))
+    return float(min(scores)), dict(zip(envs, scores))
 
 
 def main(argv=None):
@@ -63,6 +69,16 @@ def main(argv=None):
         i = args.index("--sweep")
         sweep_n = int(args[i + 1])
         del args[i : i + 2]
+    envs = None
+    if "--envs" in args:
+        i = args.index("--envs")
+        envs = args[i + 1].split(",")
+        del args[i : i + 2]
+    early_stop = 5  # reference: stop after 5 non-improving trials
+    if "--early-stop" in args:
+        i = args.index("--early-stop")
+        early_stop = int(args[i + 1])
+        del args[i : i + 2]
 
     alg = next(
         (a.split("=", 1)[1] for a in args if a.startswith("algorithm=")), "SAC"
@@ -73,7 +89,7 @@ def main(argv=None):
         # Single trial, shared random seed across envs (train_all.py:19).
         seed = int(np.random.default_rng().integers(0, 2**31))
         overrides = [f"seed={seed}"] + args
-        score, per_env = run_trial(overrides, out_root, serial)
+        score, per_env = run_trial(overrides, out_root, serial, envs)
         print(json.dumps({"min_score": score, "per_env": per_env, "seed": seed}))
         return score
 
@@ -91,7 +107,7 @@ def main(argv=None):
         space=space_from_config(spaces[alg]),
         total_trials=sweep_n,
         minimize=False,
-        early_stop_epochs=5,
+        early_stop_epochs=early_stop,
     )
     seed = int(np.random.default_rng().integers(0, 2**31))
     log_path = os.path.join(out_root, "sweep.jsonl")
@@ -104,10 +120,11 @@ def main(argv=None):
             + [f"{k}={v}" for k, v in trial.params.items()]
         )
         trial_dir = os.path.join(out_root, f"trial_{trial.index:03d}")
-        score, per_env = run_trial(trial_overrides, trial_dir, serial)
+        score, per_env = run_trial(trial_overrides, trial_dir, serial, envs)
         opt.tell(trial, score)
         rec = {
             "trial": trial.index,
+            "method": trial.method,
             "params": trial.params,
             "min_score": score,
             "per_env": per_env,

@@ -158,6 +158,14 @@ def main(argv=None):
             f"[{r['ci_lo']:.3f}, {r['ci_hi']:.3f}] "
             f"({r['seeds']} seeds x {r['envs']} envs)"
         )
+        # Per-env final-eval breakdown (the reference prints per-env IQMs,
+        # scripts/print_plot_seed_sweep_results.py:61).
+        _, _, tensor = curves[alg]
+        for e, env in enumerate(args.envs):
+            pt, lo, hi = stratified_bootstrap_ci(
+                tensor[:, e : e + 1, -1], iqm, reps=args.reps, ci=args.ci
+            )
+            print(f"  {env}: final IQM {pt:.3f} [{lo:.3f}, {hi:.3f}]")
     if args.json:
         print(json.dumps(results))
 
@@ -180,10 +188,17 @@ def _plot(args, curves):
         # Aggregate panel: IQM over (seeds, envs) with CI band.
         axes[-1].plot(steps, curve[:, 0], label=alg)
         axes[-1].fill_between(steps, curve[:, 1], curve[:, 2], alpha=0.2)
-        # Per-env panels: IQM over seeds.
+        # Per-env panels: IQM over seeds + bootstrap CI band.
+        from iltpu.analysis import stratified_bootstrap_ci as _ci
+
         for e in range(n_envs):
             env_curve = iqm(tensor[:, e, :], axis=0)
+            band = np.array([
+                _ci(tensor[:, e : e + 1, t], iqm, reps=1000)
+                for t in range(tensor.shape[-1])
+            ])
             axes[e].plot(steps, env_curve, label=alg)
+            axes[e].fill_between(steps, band[:, 1], band[:, 2], alpha=0.2)
     for e, env in enumerate(args.envs):
         axes[e].set_title(env)
         axes[e].set_xlabel("env steps")

@@ -49,3 +49,55 @@ def test_main_single_trial(tmp_path, monkeypatch, capsys):
     rec = json.loads(out)
     assert rec["min_score"] == score
     assert "pointmass" in rec["per_env"]
+
+
+def test_envs_flag_restricts_objective(tmp_path, monkeypatch, capsys):
+    """--envs subset: the trial objective covers only the listed envs
+    (cheap single-env sweeps) without touching the ENVS default."""
+    monkeypatch.chdir(tmp_path)
+    calls = []
+
+    def fake_run_one(packed):
+        calls.append(packed[0])
+        return {"pointmass": 0.6, "pendulum": 0.1}[packed[0]]
+
+    monkeypatch.setattr(train_all, "_run_one", fake_run_one)
+    score = train_all.main(["--serial", "--envs", "pointmass"])
+    assert calls == ["pointmass"]
+    assert score == 0.6
+
+
+def test_sweep_records_acquisition_method(tmp_path, monkeypatch):
+    """sweep.jsonl rows carry the acquisition label (--envs subset +
+    --early-stop plumbed through the sweep loop)."""
+    monkeypatch.chdir(tmp_path)
+    monkeypatch.setattr(train_all, "_run_one", lambda packed: 0.5)
+    train_all.main(
+        ["algorithm=GAIL", "--serial", "--sweep", "3", "--envs", "pointmass",
+         "--early-stop", "99"]
+    )
+    with open("outputs/all_GAIL/sweep.jsonl") as f:
+        rows = [json.loads(l) for l in f]
+    assert len(rows) == 3
+    assert all(r["method"] == "sobol" for r in rows)  # inside Sobol init
+    assert all(r["per_env"] == {"pointmass": 0.5} for r in rows)
+
+
+def test_bayesopt_gp_acquisition_after_sobol():
+    """The GP/EI path engages once the Sobol budget is spent and labels
+    its trials gp-ei."""
+    from iltpu.sweep import BayesOpt, space_from_config
+
+    space = space_from_config(
+        {"x": {"type": "range", "bounds": [0.0, 1.0]},
+         "y": {"type": "range", "bounds": [0.0, 1.0]}}
+    )
+    opt = BayesOpt(space=space, total_trials=6, sobol_trials=3,
+                   early_stop_epochs=99)
+    methods = []
+    while not opt.should_stop:
+        t = opt.ask()
+        methods.append(t.method)
+        opt.tell(t, -(t.params["x"] - 0.3) ** 2 - (t.params["y"] - 0.7) ** 2)
+    assert methods[:3] == ["sobol"] * 3
+    assert methods[3:] == ["gp-ei"] * 3

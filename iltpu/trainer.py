@@ -226,6 +226,7 @@ class Trainer:
             discount=rcfg.discount,
             entropy_target=rcfg.target_temperature * A,  # train.py:65 heuristic
             polyak_factor=rcfg.polyak_factor,
+            min_alpha=float(rcfg.get("min_alpha", 0.0) or 0.0),
         )
         self.key, k = jax.random.split(self.key)
         sac = self.learner.init(k)
@@ -247,6 +248,11 @@ class Trainer:
                     "training.sac_pallas=true requires depth-2 relu "
                     "actor/critic MLPs without dropout or spectral norm "
                     f"(algorithm={self.alg})"
+                )
+            if self.learner.min_alpha > 0.0:
+                raise ValueError(
+                    "reinforcement.min_alpha is not implemented in the "
+                    "fused Pallas SAC kernel; set training.sac_pallas=false"
                 )
         # Fused Pallas GAIL discriminator step (iltpu/ops/pallas_gail.py):
         # the production BCE configuration and the tuned quality

@@ -50,12 +50,22 @@ class SACLearner:
         discount: float = 0.99,
         entropy_target: float = -3.0,
         polyak_factor: float = 0.995,
+        min_alpha: float = 0.0,
     ):
         self.actor = actor
         self.critic = critic
         self.discount = discount
         self.entropy_target = entropy_target
         self.polyak_factor = polyak_factor
+        # Opt-in temperature floor (reinforcement.min_alpha; 0 = exact
+        # reference semantics). Late-training hopper runs anneal alpha to
+        # ~0.005 and then oscillate between expert plateaus and collapses
+        # (docs/DECAY_ROOTCAUSE.md); flooring the alpha USED by the critic
+        # target and actor loss keeps exploration alive while the raw
+        # log_alpha keeps its own dynamics (so it can rise back above the
+        # floor — a hard clamp on log_alpha would zero its gradient and
+        # pin it).
+        self.min_alpha = min_alpha
         # recorded for the fused Pallas update path (iltpu/ops/pallas_sac.py)
         self.lr = learning_rate
         self.weight_decay = weight_decay
@@ -101,6 +111,8 @@ class SACLearner:
         w = transitions["weights"]
         absorbing = transitions["absorbing"]
         alpha = jnp.exp(state.log_alpha)[0]
+        if self.min_alpha > 0.0:
+            alpha = jnp.maximum(alpha, self.min_alpha)
 
         # --- Shared actor forward ------------------------------------------
         # The TD target needs pi(s') (no grad) and the actor loss needs

@@ -56,6 +56,34 @@ def test_sac_update_runs_and_improves_critic():
         assert np.isfinite(np.asarray(v)).all()
 
 
+def test_sac_min_alpha_floor():
+    """reinforcement.min_alpha floors the alpha used by the critic target /
+    actor loss (reported in aux) while leaving log_alpha's own dynamics
+    alive; min_alpha=0 reproduces exact reference semantics."""
+    import dataclasses
+
+    actor = SoftActor(S, A, hidden_size=32, depth=1)
+    critic = TwinCritic(S, A, hidden_size=32, depth=1)
+    floored = SACLearner(actor, critic, entropy_target=-float(A),
+                         min_alpha=0.05)
+    plain = SACLearner(actor, critic, entropy_target=-float(A))
+    state = plain.init(jax.random.key(0))
+    state = dataclasses.replace(
+        state, log_alpha=jnp.full((1,), jnp.log(0.001), jnp.float32)
+    )
+    batch = _transitions(jax.random.key(1))
+    _, aux_f = jax.jit(floored.update)(state, jax.random.key(2), batch)
+    _, aux_p = jax.jit(plain.update)(state, jax.random.key(2), batch)
+    np.testing.assert_allclose(float(aux_f["alpha"]), 0.05, rtol=1e-6)
+    np.testing.assert_allclose(float(aux_p["alpha"]), 0.001, rtol=1e-5)
+    # the temperature update itself is identical (raw alpha in its loss)
+    s_f, _ = jax.jit(floored.update)(state, jax.random.key(2), batch)
+    s_p, _ = jax.jit(plain.update)(state, jax.random.key(2), batch)
+    np.testing.assert_allclose(
+        np.asarray(s_f.log_alpha), np.asarray(s_p.log_alpha), rtol=1e-6
+    )
+
+
 def test_sac_polyak_moves_target_toward_online():
     learner = _learner()
     state = learner.init(jax.random.key(0))

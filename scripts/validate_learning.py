@@ -48,7 +48,7 @@ def cell_key(row):
     return (row["algorithm"], row["env"], row["trajectories"], row["seed"],
             bool(row.get("tuned", False)), int(row.get("num_envs", 256)),
             bool(row.get("data_fix", False)), int(row.get("steps", 0)),
-            row.get("dataset") or "")
+            row.get("dataset") or "", row.get("extra") or "")
 
 
 def render_md(rows):
@@ -70,6 +70,8 @@ def render_md(rows):
         data = r.get("dataset") or ""
         if r.get("data_fix"):
             data = (data + " +fix").strip()
+        if r.get("extra"):
+            data = (data + " " + r["extra"]).strip()
         lines.append(
             "| {algorithm} | {env} | {trajectories} | {seed} | {tuned} |"
             " {n_env} | {data} | {steps} |"
@@ -128,6 +130,12 @@ def main(argv=None):
         " regenerated from the 3e6-step SAC with --only-timeout-episodes);"
         " recorded in the cell key",
     )
+    p.add_argument(
+        "--extra", default="",
+        help="comma-separated extra config overrides (e.g."
+        " reinforcement.min_alpha=0.06); part of the cell key and recorded"
+        " in the row, so variant runs coexist with the base cell",
+    )
     p.add_argument("--rerun", action="store_true", help="redo existing cells")
     p.add_argument("--platform", default=None, help="pin jax backend (tpu|cpu)")
     args = p.parse_args(argv)
@@ -152,7 +160,8 @@ def main(argv=None):
         for env in args.envs.split(","):
             key = (alg, env, args.trajectories, args.seed, bool(args.tuned),
                    args.num_envs, bool(args.data_fix), args.steps,
-                   args.dataset_suffix and f"{env}_expert{args.dataset_suffix}")
+                   args.dataset_suffix and f"{env}_expert{args.dataset_suffix}",
+                   args.extra)
             if key in done and not args.rerun:
                 print(f"skip {key} (already in RESULTS.jsonl)")
                 continue
@@ -176,6 +185,8 @@ def main(argv=None):
             ]
             if args.data_fix:
                 overrides.append("expert_data.terminals_to_timeouts=true")
+            if args.extra:
+                overrides.extend(args.extra.split(","))
             cfg = load_config(overrides, use_tuned=args.tuned)
             stamp = datetime.datetime.now().strftime("%m-%d_%H-%M-%S")
             out_dir = os.path.join(
@@ -205,6 +216,7 @@ def main(argv=None):
                     f"{env}_expert{args.dataset_suffix}"
                     if args.dataset_suffix else ""
                 ),
+                "extra": args.extra,
                 "final_normalized_score": final,
                 "last_normalized_score": norm_scores[-1] if norm_scores else final,
                 "best_normalized_score": max(norm_scores) if norm_scores else final,

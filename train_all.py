@@ -79,6 +79,11 @@ def main(argv=None):
         i = args.index("--early-stop")
         early_stop = int(args[i + 1])
         del args[i : i + 2]
+    sobol = None
+    if "--sobol" in args:
+        i = args.index("--sobol")
+        sobol = int(args[i + 1])
+        del args[i : i + 2]
 
     alg = next(
         (a.split("=", 1)[1] for a in args if a.startswith("algorithm=")), "SAC"
@@ -108,6 +113,7 @@ def main(argv=None):
         total_trials=sweep_n,
         minimize=False,
         early_stop_epochs=early_stop,
+        **({"sobol_trials": sobol} if sobol is not None else {}),
     )
     seed = int(np.random.default_rng().integers(0, 2**31))
     log_path = os.path.join(out_root, "sweep.jsonl")

@@ -54,6 +54,27 @@ class HostVecEnv:
         high = self._envs[0].action_space.high.astype(np.float32)
         self.action_low, self.action_high = low, high
         self._obs = np.zeros((num_envs, self.obs_size), np.float32)
+        # mujoco's mj_step releases the GIL, so a small thread pool steps
+        # envs concurrently (this backend is the fallback/eval path when
+        # the in-repo C++ stepper isn't built; a serial Python loop left
+        # ~half the host cores idle during 30-episode evals).
+        self._pool = None
+        if num_envs > 1:
+            import concurrent.futures
+            import os as _os
+
+            self._workers = min(num_envs, _os.cpu_count() or 2)
+            # one contiguous chunk of envs per worker: task-dispatch
+            # overhead is per-chunk, not per-env (per-env futures measured
+            # SLOWER than the serial loop on a 2-core host)
+            self._chunks = [
+                range(w * num_envs // self._workers,
+                      (w + 1) * num_envs // self._workers)
+                for w in range(self._workers)
+            ]
+            self._pool = concurrent.futures.ThreadPoolExecutor(
+                max_workers=self._workers
+            )
 
     @property
     def obs_size(self) -> int:
@@ -100,7 +121,8 @@ class HostVecEnv:
         rewards = np.zeros(n, np.float32)
         terminals = np.zeros(n, np.float32)
         timeouts = np.zeros(n, np.float32)
-        for i, env in enumerate(self._envs):
+        def _step_one(i):
+            env = self._envs[i]
             obs, r, terminated, truncated, _ = env.step(actions[i])
             next_obs[i] = self._augment(obs)
             rewards[i] = r
@@ -113,9 +135,23 @@ class HostVecEnv:
                 self._obs[i] = self._augment(obs)
             else:
                 self._obs[i] = next_obs[i]
+
+        def _step_chunk(idx):
+            for i in idx:
+                _step_one(i)
+
+        if self._pool is not None:
+            # list() propagates any worker exception
+            list(self._pool.map(_step_chunk, self._chunks))
+        else:
+            for i in range(n):
+                _step_one(i)
         return next_obs, rewards, terminals, timeouts, self._obs.copy()
 
     def close(self):
+        if self._pool is not None:
+            self._pool.shutdown(wait=False)
+            self._pool = None
         for env in self._envs:
             env.close()
 

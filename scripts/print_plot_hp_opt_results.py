@@ -31,7 +31,8 @@ def load_sweep(path: str) -> pd.DataFrame:
     with open(path) as f:
         for line in f:
             rec = json.loads(line)
-            row = {"trial": rec["trial"], "min_score": rec["min_score"]}
+            row = {"trial": rec["trial"], "min_score": rec["min_score"],
+                   "method": rec.get("method", "?")}
             row.update({f"param:{k}": v for k, v in rec["params"].items()})
             row.update({f"env:{k}": v for k, v in rec.get("per_env", {}).items()})
             rows.append(row)

@@ -18,5 +18,5 @@ echo "=== baseline (default config, same harness) $(date +%H:%M:%S)" >> "$LOG"
 timeout 2400 python train_all.py $ARGS seed=12345 --serial --envs hopper >> "$LOG" 2>&1
 echo "--- rc=$? baseline" >> "$LOG"
 echo "=== sweep 15 trials $(date +%H:%M:%S)" >> "$LOG"
-timeout "${SWEEP_TIMEOUT:-14400}" python train_all.py $ARGS --sweep 15 --early-stop 15 --sobol 6 --serial --envs hopper >> "$LOG" 2>&1
+timeout "${SWEEP_TIMEOUT:-14400}" python train_all.py $ARGS --sweep 15 --early-stop 15 --sobol 5 --serial --envs hopper >> "$LOG" 2>&1
 echo "--- rc=$? sweep $(date +%H:%M:%S)" >> "$LOG"

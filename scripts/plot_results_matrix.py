@@ -105,7 +105,7 @@ def pick_curves(rows, trajectories=10, best_variant=False):
         for r in rs:
             vkey = (bool(r.get("tuned")), bool(r.get("data_fix")),
                     r.get("dataset") or "", int(r.get("num_envs", 256)),
-                    int(r.get("steps", 0)))
+                    int(r.get("steps", 0)), r.get("extra") or "")
             variants.setdefault(vkey, []).append(r)
         if best_variant:
             chosen = max(
@@ -116,12 +116,16 @@ def pick_curves(rows, trajectories=10, best_variant=False):
             )
         else:
             want_tuned = CONFIG_POLICY.get(alg, False)
+            # mitigation-experiment rows (--extra overrides) are not the
+            # canonical configuration; the fixed-config figure excludes them
             pool = [r for r in rs
                     if bool(r.get("tuned")) == want_tuned
-                    and int(r.get("num_envs", 256)) == 256]
+                    and int(r.get("num_envs", 256)) == 256
+                    and not r.get("extra")]
             if not pool:  # cell only exists in the other tuning state
                 pool = [r for r in rs
-                        if int(r.get("num_envs", 256)) == 256] or rs
+                        if int(r.get("num_envs", 256)) == 256
+                        and not r.get("extra")] or rs
             best_rank = min(_dataset_rank(env, r) for r in pool)
             chosen = [r for r in pool if _dataset_rank(env, r) == best_rank]
         tuned = [r for r in chosen if r.get("tuned")]
@@ -164,6 +168,8 @@ def _variant_label(row, tuned, n_seeds):
         bits.append(f"n{row.get('num_envs')}")
     if int(row.get("steps", 0)) not in (0, 1_000_000):
         bits.append(f"{row['steps'] // 1000}k")
+    if row.get("extra"):
+        bits.append(row["extra"].split("=")[0].split(".")[-1])
     return f"{'/'.join(bits)} s={n_seeds}"
 
 

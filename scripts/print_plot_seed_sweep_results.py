@@ -54,6 +54,13 @@ def main(argv=None):
         " configuration RESULTS.md headlines)",
     )
     p.add_argument("--num-envs-filter", type=int, default=256)
+    p.add_argument(
+        "--dataset", default=None,
+        help="with --from-results: restrict to rows on this dataset"
+        " (e.g. hopper_expert_v2); default: the base generated dataset"
+        " (empty suffix). Rows with --extra overrides are always"
+        " excluded — variant experiments are not seeds.",
+    )
     args = p.parse_args(argv)
 
     def _rows_for(alg):
@@ -67,6 +74,11 @@ def main(argv=None):
             if r["algorithm"] == alg
             and r["trajectories"] == args.trajectories
             and int(r.get("num_envs", 256)) == args.num_envs_filter
+            and not r.get("extra")
+            and (
+                (r.get("dataset") or "").endswith(args.dataset)
+                if args.dataset else not r.get("dataset")
+            )
         ]
         by_env = {}
         for env in args.envs:

@@ -55,7 +55,12 @@ def main(argv=None):
         for ratio_name, interval in (("1:1", 1), ("1/vecstep", n)):
             start = 4 * n
             steps = start + args.iters * n
-            chunk = max(args.iters // 4, 1)
+            # Cap per-chunk device-program size: one lax.scan chunk at 1:1
+            # executes chunk*n updates in a single XLA program; at n=4096
+            # a 256-iteration chunk is a ~95 s device program, which the
+            # tunneled worker kills (observed crash). Keep chunk*n around
+            # the known-good 2^18 env-steps per program.
+            chunk = max(16, min(args.iters // 4, (1 << 18) // n))
             cfg = load_config(
                 [
                     f"algorithm={args.algorithm}",

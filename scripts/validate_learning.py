@@ -96,9 +96,12 @@ def render_md(rows):
         " figure shows at 1M steps). data `+fix` ="
         " expert_data.terminals_to_timeouts (label repair for"
         " terminal-ended generated demos; docs/ADRIL_ROOTCAUSE.md);"
-        " `*_expert_v2` = demos regenerated from the 3e6-step SAC expert"
-        " with --only-timeout-episodes (distribution-matches D4RL"
-        " expert-v2)."
+        " `*_expert_v2` = surviving demos harvested from agent_best"
+        " snapshots with stochastic reject sampling (all timeout-ended,"
+        " normalized >=0.95 — distribution-matches D4RL expert-v2;"
+        " data/README.md); extra `key=value` entries = --extra config"
+        " overrides (e.g. the reinforcement.min_alpha temperature-floor"
+        " mitigation, docs/DECAY_ROOTCAUSE.md)."
     )
     lines.append("")
     with open(RESULTS_MD, "w") as f:

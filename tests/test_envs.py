@@ -40,6 +40,27 @@ def test_host_vec_env_hopper_shapes_and_absorbing_bit():
     env.close()
 
 
+def test_host_vec_env_threaded_step_matches_serial():
+    """The per-worker-chunked thread pool must be bit-identical to the
+    serial loop: each worker owns a disjoint contiguous env slice, so no
+    write overlaps and no ordering effects."""
+    a = HostVecEnv("hopper", num_envs=4, absorbing=True, seed=5)
+    b = HostVecEnv("hopper", num_envs=4, absorbing=True, seed=5)
+    if b._pool is not None:
+        b._pool.shutdown(wait=False)
+        b._pool = None  # force the serial path
+    oa, ob = a.reset(5), b.reset(5)
+    np.testing.assert_array_equal(oa, ob)
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        act = rng.uniform(-1, 1, (4, a.action_size)).astype(np.float32)
+        ra, rb = a.step(act), b.step(act)
+        for xa, xb in zip(ra, rb):
+            np.testing.assert_array_equal(xa, xb)
+    a.close()
+    b.close()
+
+
 def test_host_vec_env_auto_reset_and_terminal_split():
     """Hopper falls quickly under max-torque actions: within a few hundred
     steps every env must have terminated (terminal=1, timeout=0) and been

@@ -45,18 +45,23 @@ def load_d4rl_hdf5(path: str) -> Dict[str, np.ndarray]:
         # successor. For true terminals the patched value is masked by
         # (1 - terminal) in the TD target; for TIMEOUT boundaries it is
         # not, so if expert transitions enter the critic batch
-        # (SQIL/AdRIL mixed batches) those rows bootstrap from a
-        # self-loop target gamma*V(s_T) evaluated at s_T itself. This is
-        # a known approximation of the fallback ONLY: every real D4RL
+        # (SQIL/AdRIL mixed batches) those rows would bootstrap from a
+        # self-loop target gamma*V(s_T) evaluated at s_T itself. Those
+        # rows are therefore ZERO-WEIGHTED (per-row `weights` flows
+        # through build_expert_transitions into every weighted loss):
+        # a fabricated transition contributes nothing rather than a
+        # biased TD target. Fallback-only semantics: every real D4RL
         # `*-expert-v2` release ships next_observations, so the
         # reference distribution never exercises this path (it exists
         # for truncated third-party HDF5 exports).
-        ends = np.flatnonzero(
-            np.asarray(data["terminals"]).reshape(-1).astype(bool)
-            | np.asarray(data["timeouts"]).reshape(-1).astype(bool)
-        )
+        terminals = np.asarray(data["terminals"]).reshape(-1).astype(bool)
+        timeouts = np.asarray(data["timeouts"]).reshape(-1).astype(bool)
+        ends = np.flatnonzero(terminals | timeouts)
         next_obs[ends] = obs[ends]
         data["next_observations"] = next_obs
+        weights = np.ones(len(obs), np.float32)
+        weights[timeouts & ~terminals] = 0.0
+        data["weights"] = weights
     return data
 
 
@@ -82,6 +87,12 @@ def build_expert_transitions(
     next_states = np.asarray(dataset["next_observations"], np.float32)
     terminals = np.asarray(dataset["terminals"], np.float32).reshape(-1)
     timeouts = np.asarray(dataset["timeouts"], np.float32).reshape(-1)
+    # Optional per-row base weights (e.g. load_d4rl_hdf5's zero-weighting of
+    # reconstructed self-loop timeout boundaries); default all-ones matches
+    # the reference, which has no such channel (environments.py:63-125).
+    row_weights = np.asarray(
+        dataset.get("weights", np.ones(len(states))), np.float32
+    ).reshape(-1)
     state_size, action_size = states.shape[1], actions.shape[1]
 
     # Split into trajectories at terminal-or-timeout indices (env.py:72-81).
@@ -101,7 +112,7 @@ def build_expert_transitions(
                 next_states=next_states[lo:hi],
                 terminals=terminals[lo:hi],  # true terminations only
                 timeouts=timeouts[lo:hi],
-                weights=np.ones(hi - lo, np.float32),
+                weights=row_weights[lo:hi].copy(),
             )
         )
 

@@ -150,7 +150,11 @@ class HostVecEnv:
 
     def close(self):
         if self._pool is not None:
-            self._pool.shutdown(wait=False)
+            # wait=True: if a prior step() raised in one worker chunk, other
+            # chunks may still be mid mj_step — closing mujoco envs under a
+            # live step risks a native crash. On the normal path the pool is
+            # idle and the wait is free.
+            self._pool.shutdown(wait=True)
             self._pool = None
         for env in self._envs:
             env.close()

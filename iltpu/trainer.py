@@ -410,6 +410,12 @@ class Trainer:
         self.score = []
         self._log_queue = []
         self.start_step = 0
+        # Floor for the agent_best compare, seeded lazily from an existing
+        # snapshot's saved score: a resumed run whose restored history ends
+        # before the snapshot's best eval must not overwrite a better
+        # agent_best with its first (possibly worse) post-resume eval.
+        self._best_prior = float("-inf")
+        self._best_seeded = False
 
         if cfg.checkpointing.resume:
             self._resume(cfg.checkpointing.resume)
@@ -1086,8 +1092,22 @@ class Trainer:
         # wrong artifact for demo generation or deployment).
         # Strict improvement after the first save: `>=` rewrote the
         # snapshot on every tying eval (e.g. repeated 0.0 early scores),
-        # paying host syncs + I/O for no new information.
-        if self.score[-1] > max(self.score[:-1], default=float("-inf")):
+        # paying host syncs + I/O for no new information. The floor also
+        # honours the score stored INSIDE an existing agent_best snapshot
+        # (this run's in-memory history alone would let the first
+        # post-resume eval clobber a better pre-resume best).
+        if not self._best_seeded:
+            self._best_seeded = True
+            best_path = os.path.join(self.out_dir, self.prefix + "agent_best")
+            if os.path.exists(os.path.join(best_path, "header.pkl")):
+                try:
+                    prior, _ = load_checkpoint(best_path)
+                    self._best_prior = float(np.asarray(prior["score"]))
+                except Exception:  # unreadable/legacy snapshot: no floor
+                    pass
+        if self.score[-1] > max(
+            max(self.score[:-1], default=float("-inf")), self._best_prior
+        ):
             sac = self.state["sac"]
             save_checkpoint(
                 os.path.join(self.out_dir, self.prefix + "agent_best"),
@@ -1238,6 +1258,12 @@ class Trainer:
         # step >= skip excludes trace/compile-cache-load and warmup physics.
         timing_skip = int(cfg.training.get("timing_skip_steps", 0) or 0)
         steady_t0 = steady_step0 = None
+        # training.timing_marks=K: record K+1 synced (step, wall-clock)
+        # marks across the steady region so a single invocation yields K
+        # independent throughput windows (bench.py reports their median —
+        # one draw no longer samples chip time-of-day weather).
+        timing_marks = int(cfg.training.get("timing_marks", 0) or 0)
+        mark_every = next_mark = 0
 
         base_key = self.key  # per-step keys are fold_in(base, step) on device
         if host_act:
@@ -1344,6 +1370,15 @@ class Trainer:
             if steady_t0 is None and timing_skip and step >= timing_skip:
                 jax.block_until_ready(self.state["sac"].log_alpha)
                 steady_t0, steady_step0 = time.time(), step
+                if timing_marks > 0:
+                    mark_every = max(N, (cfg.steps - steady_step0) // timing_marks)
+                    next_mark = steady_step0 + mark_every
+                    self.metrics["steady_marks"] = [[int(step), steady_t0]]
+            elif steady_t0 is not None and timing_marks > 0 and step >= next_mark:
+                jax.block_until_ready(self.state["sac"].log_alpha)
+                self.metrics["steady_marks"].append([int(step), time.time()])
+                while next_mark <= step:
+                    next_mark += mark_every
 
             for i in np.flatnonzero(dones):
                 self.metrics["train_steps"].append(step)
@@ -1380,6 +1415,10 @@ class Trainer:
             jax.block_until_ready(self.state["sac"].log_alpha)
             self.metrics["steady_env_steps"] = step - steady_step0
             self.metrics["steady_time"] = time.time() - steady_t0
+            if timing_marks > 0 and step > self.metrics["steady_marks"][-1][0]:
+                self.metrics["steady_marks"].append(
+                    [int(step), steady_t0 + self.metrics["steady_time"]]
+                )
         self.step_done = step
 
     def _device_loop(self):
@@ -1410,6 +1449,9 @@ class Trainer:
         # training.timing_skip_steps, measured at chunk granularity).
         timing_skip = int(cfg.training.get("timing_skip_steps", 0) or 0)
         steady_t0 = steady_step0 = None
+        # Multi-window marks — same contract as the host loop (bench median).
+        timing_marks = int(cfg.training.get("timing_marks", 0) or 0)
+        mark_every = next_mark = 0
 
         # One steady-state chunk size (single compile per updates_per_iter
         # variant); metric/eval/checkpoint cadences tolerate overshoot the
@@ -1448,6 +1490,15 @@ class Trainer:
             if steady_t0 is None and timing_skip and step >= timing_skip:
                 jax.block_until_ready(self.state["sac"].log_alpha)
                 steady_t0, steady_step0 = time.time(), step
+                if timing_marks > 0:
+                    mark_every = max(N, (cfg.steps - steady_step0) // timing_marks)
+                    next_mark = steady_step0 + mark_every
+                    self.metrics["steady_marks"] = [[int(step), steady_t0]]
+            elif steady_t0 is not None and timing_marks > 0 and step >= next_mark:
+                # np.asarray(rewards) above fetch-synced this chunk already.
+                self.metrics["steady_marks"].append([int(step), time.time()])
+                while next_mark <= step:
+                    next_mark += mark_every
 
             if (
                 upi > 0
@@ -1489,6 +1540,10 @@ class Trainer:
             # docs/PERF.md), so wall-clock here closes the window exactly.
             self.metrics["steady_env_steps"] = step - steady_step0
             self.metrics["steady_time"] = time.time() - steady_t0
+            if timing_marks > 0 and step > self.metrics["steady_marks"][-1][0]:
+                self.metrics["steady_marks"].append(
+                    [int(step), steady_t0 + self.metrics["steady_time"]]
+                )
         self.step_done = step
 
     def _finish(self):

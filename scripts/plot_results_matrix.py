@@ -107,6 +107,7 @@ def pick_curves(rows, trajectories=10, best_variant=False):
                     r.get("dataset") or "", int(r.get("num_envs", 256)),
                     int(r.get("steps", 0)), r.get("extra") or "")
             variants.setdefault(vkey, []).append(r)
+        deviates = best_variant  # best-variant mode always discloses
         if best_variant:
             chosen = max(
                 variants.values(),
@@ -122,7 +123,11 @@ def pick_curves(rows, trajectories=10, best_variant=False):
                     if bool(r.get("tuned")) == want_tuned
                     and int(r.get("num_envs", 256)) == 256
                     and not r.get("extra")]
-            if not pool:  # cell only exists in the other tuning state
+            if not pool:  # cell only exists in a non-fixed-config variant:
+                # admit it but mark the cell so the deviation is DISCLOSED
+                # in the figure (annotation rendered whenever this fallback
+                # fires, not only under --best-variant).
+                deviates = True
                 pool = [r for r in rs
                         if int(r.get("num_envs", 256)) == 256
                         and not r.get("extra")] or rs
@@ -151,7 +156,9 @@ def pick_curves(rows, trajectories=10, best_variant=False):
             np.mean(curves, axis=0),
             grid[0],
             len(curves),
-            _variant_label(picked[0], bool(tuned), len(curves)),
+            _variant_label(picked[0], bool(tuned), len(curves))
+            if deviates
+            else None,
         )
     return out
 
@@ -215,7 +222,8 @@ def main(argv=None):
             if item is None:
                 continue
             curve, run_steps, n_seeds, label = item
-            notes.append((alg, label))
+            if label is not None:  # None = fixed config, nothing to disclose
+                notes.append((alg, label))
             if len(curve) == 1:  # BC: one eval after pretraining -> flat line
                 curve = np.repeat(curve, 2)
                 x = np.array([0, steps_total])
@@ -232,7 +240,7 @@ def main(argv=None):
                 solid_capstyle="round",
             )
         ax.set_title(env, color=ink, fontsize=11)
-        if args.best_variant and notes:
+        if notes:  # best-variant picks AND fixed-config fallback deviations
             ax.text(
                 0.99, 0.02,
                 "\n".join(f"{a}: {v}" for a, v in notes),
@@ -306,7 +314,8 @@ def _traj_grid(args, plt):
                 if item is None:
                     continue
                 curve, run_steps, n_seeds, label = item
-                notes.append((alg, label))
+                if label is not None:
+                    notes.append((alg, label))
                 present.add(alg)
                 if len(curve) == 1:
                     curve = np.repeat(curve, 2)
@@ -319,7 +328,7 @@ def _traj_grid(args, plt):
                         ls="--" if alg in DASHED else "-")
             if i == 0:
                 ax.set_title(f"{n} trajectories", color=ink, fontsize=10)
-            if args.best_variant and notes:
+            if notes:  # disclose any deviation from the fixed config
                 ax.text(
                     0.99, 0.02,
                     "\n".join(f"{a}: {v}" for a, v in notes),

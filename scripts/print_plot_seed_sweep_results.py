@@ -56,10 +56,13 @@ def main(argv=None):
     p.add_argument("--num-envs-filter", type=int, default=256)
     p.add_argument(
         "--dataset", default=None,
-        help="with --from-results: restrict to rows on this dataset"
-        " (e.g. hopper_expert_v2); default: the base generated dataset"
-        " (empty suffix). Rows with --extra overrides are always"
-        " excluded — variant experiments are not seeds.",
+        help="with --from-results: restrict to rows on this dataset."
+        " A leading underscore is a per-env SUFFIX (e.g. '_v2' matches"
+        " <env>_expert_v2 for every pooled env — use this for multi-env"
+        " pooling); otherwise the full dataset name (e.g."
+        " hopper_expert_v2, single-env pooling only). Default: the base"
+        " generated dataset (empty field). Rows with --extra overrides"
+        " are always excluded — variant experiments are not seeds.",
     )
     args = p.parse_args(argv)
 
@@ -75,14 +78,20 @@ def main(argv=None):
             and r["trajectories"] == args.trajectories
             and int(r.get("num_envs", 256)) == args.num_envs_filter
             and not r.get("extra")
-            and (
-                (r.get("dataset") or "").endswith(args.dataset)
-                if args.dataset else not r.get("dataset")
-            )
         ]
         by_env = {}
         for env in args.envs:
             er = [r for r in rows if r["env"] == env]
+            if args.dataset is None:
+                er = [r for r in er if not r.get("dataset")]
+            elif args.dataset.startswith("_"):
+                # per-env suffix: '_v2' selects <env>_expert_v2 in each panel
+                er = [
+                    r for r in er
+                    if (r.get("dataset") or "") == f"{env}_expert{args.dataset}"
+                ]
+            else:
+                er = [r for r in er if (r.get("dataset") or "") == args.dataset]
             if args.tuned in ("yes", "no"):
                 er = [r for r in er if bool(r.get("tuned")) == (args.tuned == "yes")]
             elif args.tuned == "best":

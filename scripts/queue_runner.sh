@@ -16,8 +16,16 @@ while :; do
   if [ -f /tmp/stop_queue ]; then echo "=== stop_queue present, exiting" >> "$LOG"; exit 0; fi
   if [ "$(date +%s)" -gt "$DEADLINE" ]; then echo "=== deadline passed, exiting" >> "$LOG"; exit 0; fi
   [ -s "$JOBS" ] || { echo "=== jobs file empty, exiting $(date +%H:%M:%S)" >> "$LOG"; exit 0; }
-  job=$(head -n 1 "$JOBS")
-  tail -n +2 "$JOBS" > "$JOBS.tmp" && mv "$JOBS.tmp" "$JOBS"
+  # Atomic pop under flock: an edit landing between the head and the mv
+  # would otherwise be silently discarded (and two runner instances would
+  # duplicate/lose jobs). ALL edits to the jobs file (appends included)
+  # must hold the same lock: flock queue_jobs.txt.lock -c 'echo JOB >> queue_jobs.txt'.
+  job=$(
+    flock "$JOBS.lock" bash -c '
+      head -n 1 "$0"
+      tail -n +2 "$0" > "$0.tmp" && mv "$0.tmp" "$0"
+    ' "$JOBS"
+  )
   case "$job" in
     ''|'#'*) continue ;;
     RAW:*)

@@ -177,6 +177,43 @@ def test_hdf5_next_obs_reconstruction_respects_trajectory_boundaries(tmp_path):
     np.testing.assert_array_equal(next_obs[4], obs[4])
 
 
+def test_hdf5_reconstructed_timeout_selfloops_are_zero_weighted(tmp_path):
+    """The HDF5 fallback fabricates self-loop next_obs at timeout
+    boundaries; those rows must carry weight 0 all the way through
+    build_expert_transitions so they never contribute a biased TD target
+    in mixed critic batches (ADVICE r4 #3). True-terminal boundaries keep
+    weight 1 — their patched next_obs is masked by (1-terminal) anyway."""
+    import h5py
+
+    data = _tiny_dataset()
+    path = tmp_path / "no_next.hdf5"
+    with h5py.File(path, "w") as f:
+        for k, v in data.items():
+            if k != "next_observations":
+                f.create_dataset(k, data=v)
+
+    from iltpu.data.dataset import load_d4rl_hdf5
+
+    loaded = load_d4rl_hdf5(str(path))
+    # row 2 is a true terminal (weight 1); row 4 a timeout boundary (0)
+    np.testing.assert_array_equal(loaded["weights"], [1, 1, 1, 1, 0])
+
+    tr, _ = build_expert_transitions(
+        loaded, trajectories=0, subsample=1, absorbing=True
+    )
+    # layout after absorbing wrap: traj1 rows 0-2 + absorbing self-loop,
+    # traj2 rows 3-4 (timeout-ended, no wrap). The reconstructed timeout
+    # row is the ONLY zero-weight row.
+    assert tr["states"].shape[0] == 6
+    np.testing.assert_array_equal(tr["weights"], [1, 1, 1, 1, 1, 0])
+
+    # datasets that DO ship next_observations are untouched (all-ones)
+    tr_full, _ = build_expert_transitions(
+        data, trajectories=0, subsample=1, absorbing=True
+    )
+    np.testing.assert_array_equal(tr_full["weights"], np.ones(6))
+
+
 def test_terminals_to_timeouts_reclassification():
     """expert_data.terminals_to_timeouts: trajectory ENDS become timeouts,
     so the absorbing wrap adds no self-loops at expert death states (the

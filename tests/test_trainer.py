@@ -359,3 +359,90 @@ def test_best_eval_agent_checkpoint(tmp_path):
     ck, _ = load_checkpoint(str(tmp_path / "agent_best"))
     assert "actor" in ck and "score" in ck
     assert float(ck["score"]) == max(t.score)
+
+
+def test_best_agent_floor_survives_resume(tmp_path):
+    """A resumed run's first eval must NOT clobber a better existing
+    agent_best: the compare is floored by the score stored inside the
+    snapshot, not just this run's in-memory history (ADVICE r4 #5)."""
+    from iltpu.utils.checkpoint import load_checkpoint
+
+    cfg = _cfg("algorithm=SAC")
+    t = Trainer(cfg, str(tmp_path))
+    t.run()
+    prior, _ = load_checkpoint(str(tmp_path / "agent_best"))
+    prior_score = float(prior["score"])
+
+    # Fresh trainer in the SAME out_dir (empty history, as after a resume
+    # whose checkpoint predates the best eval). Force a worse eval score.
+    t2 = Trainer(cfg, str(tmp_path))
+    t2._normalized = lambda returns: [prior_score - 1.0]
+    t2.evaluate = lambda: [[0.0]]
+    t2._record_eval(step=999)
+    kept, _ = load_checkpoint(str(tmp_path / "agent_best"))
+    assert float(kept["score"]) == prior_score  # not overwritten
+
+    # ...and a strictly better eval DOES overwrite.
+    t2._normalized = lambda returns: [prior_score + 1.0]
+    t2._record_eval(step=1000)
+    new, _ = load_checkpoint(str(tmp_path / "agent_best"))
+    assert float(new["score"]) == prior_score + 1.0
+
+
+def test_steady_timing_marks_device_loop(tmp_path):
+    """training.timing_marks=K records K+1 monotone (step, time) marks
+    spanning the steady region in the on-device loop — the bench median's
+    data source (bench.py multi-window fix, VERDICT r4 #1)."""
+    cfg = _cfg(
+        "algorithm=SAC",
+        "training.on_device_loop=true",
+        "training.timing_skip_steps=100",
+        "training.timing_marks=3",
+    )
+    t = Trainer(cfg, str(tmp_path))
+    t.run()
+    marks = t.metrics["steady_marks"]
+    assert len(marks) >= 3  # >= 2 windows even with chunk quantisation
+    steps_m = [s for s, _ in marks]
+    times_m = [tt for _, tt in marks]
+    assert steps_m == sorted(steps_m) and len(set(steps_m)) == len(steps_m)
+    assert all(t1 >= t0 for t0, t1 in zip(times_m, times_m[1:]))
+    # marks span the whole steady step range; their time span excludes
+    # in-loop eval/checkpoint overhead after the last chunk, so it can only
+    # be tighter than the whole-region steady_time
+    assert steps_m[-1] - steps_m[0] == t.metrics["steady_env_steps"]
+    assert times_m[-1] - times_m[0] <= t.metrics["steady_time"] + 1e-6
+
+
+def test_device_loop_records_adril_diagnostics(tmp_path):
+    """On-device-loop AdRIL runs log the same diag_* metrics the host loop
+    does (adril_diagnosis.py reads them; ADVICE r4 #5 — they were silently
+    absent from scan-loop runs)."""
+    cfg = _cfg(
+        "algorithm=AdRIL",
+        "training.on_device_loop=true",
+        "logging.interval=50",
+    )
+    t = Trainer(cfg, str(tmp_path))
+    t.run()
+    diag = [k for k in t.metrics if k.startswith("diag_")]
+    assert "diag_adril_stale_frac" in diag
+    assert "diag_relabel_reward_mean" in diag
+    assert all(len(t.metrics[k]) > 0 for k in diag)
+
+
+def test_steady_timing_marks_host_loop(tmp_path):
+    """Same contract in the host loop (pipeline mode)."""
+    cfg = _cfg(
+        "algorithm=SAC",
+        "training.pipeline=true",
+        "training.timing_skip_steps=100",
+        "training.timing_marks=3",
+    )
+    t = Trainer(cfg, str(tmp_path))
+    t.run()
+    marks = t.metrics["steady_marks"]
+    assert len(marks) >= 4  # >= 3 windows at N=1 (mark every 66 steps)
+    steps_m = [s for s, _ in marks]
+    assert steps_m == sorted(steps_m) and len(set(steps_m)) == len(steps_m)
+    assert steps_m[-1] - steps_m[0] == t.metrics["steady_env_steps"]

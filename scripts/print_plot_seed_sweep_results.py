@@ -62,7 +62,14 @@ def main(argv=None):
         " pooling); otherwise the full dataset name (e.g."
         " hopper_expert_v2, single-env pooling only). Default: the base"
         " generated dataset (empty field). Rows with --extra overrides"
-        " are always excluded — variant experiments are not seeds.",
+        " are excluded unless --extra names the variant.",
+    )
+    p.add_argument(
+        "--extra", default="",
+        help="with --from-results: select rows whose extra-override string"
+        " EQUALS this (e.g. 'reinforcement.min_alpha=0.05' aggregates the"
+        " floored 10-seed column). Default '': base-config rows only —"
+        " mixing variants into one CI would not be a seed sweep.",
     )
     args = p.parse_args(argv)
 
@@ -77,7 +84,7 @@ def main(argv=None):
             if r["algorithm"] == alg
             and r["trajectories"] == args.trajectories
             and int(r.get("num_envs", 256)) == args.num_envs_filter
-            and not r.get("extra")
+            and (r.get("extra") or "") == args.extra
         ]
         by_env = {}
         for env in args.envs:

@@ -68,6 +68,10 @@ def main():
     # Default ON: measured 10649 env-steps/s vs 9263 for the XLA-fused
     # path at 512 envs on the v5e bench chip (A/B 2026-08-21).
     pallas = os.environ.get("BENCH_PALLAS", "1") != "0"
+    # Fused update scan: leaf-layout carry + pre-scan vmapped RNG for the
+    # whole update scan (trainer fast path; bit-identical to the per-step
+    # Pallas path). BENCH_FUSED=0 A/Bs the per-step scan.
+    fused = pallas and os.environ.get("BENCH_FUSED", "1") != "0"
     # BENCH_TUNED=1: bench the QUALITY configuration — the tuned GAIL@10
     # overlay (Mixup loss + AIRL reward head, batch 512) that produces the
     # best validated scores (RESULTS.md), so the headline throughput claim
@@ -88,6 +92,7 @@ def main():
                 f"training.host_acting={str(host_acting).lower()}",
                 f"training.sac_pallas={str(pallas).lower()}",
                 f"training.disc_pallas={str(pallas_disc).lower()}",
+                f"training.fused_update_scan={str(fused).lower()}",
                 f"training.timing_skip_steps={skip}",
                 f"training.timing_marks={windows}",
                 f"prng={prng}",

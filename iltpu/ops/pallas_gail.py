@@ -177,6 +177,133 @@ def _gail_kernel(static, *refs):
     o_loss[...] = loss * jnp.ones((1,), jnp.float32)
 
 
+def _leaves4(ls):
+    return (ls[0]["w"], ls[0]["b"], ls[1]["w"], ls[1]["b"])
+
+
+def gail_state_to_leaves(disc_params: Dict, opt_state):
+    """(params, optax state) -> kernel leaf layout, ONCE per update scan.
+
+    Returns (leaves, (mu_full, nu_full)): the full unravelled moment
+    trees are handed back so `gail_leaves_to_state` can restore the u/v
+    spectral-norm moment slots (which adamw never moves — their grads
+    are zero — but optax.flatten still tracks) without a per-step
+    unravel."""
+    from jax.flatten_util import ravel_pytree
+
+    layers = disc_params["g"]["layers"]
+    spectral_norm = "u" in layers[0]
+    _, unravel = ravel_pytree(disc_params)
+    ast = _adam_state(opt_state)
+    mu_full = unravel(ast.mu)
+    nu_full = unravel(ast.nu)
+    lv = {
+        "p": _leaves4(layers),
+        "sn": (
+            (layers[0]["u"], layers[0]["v"], layers[1]["u"], layers[1]["v"])
+            if spectral_norm
+            else ()
+        ),
+        "m": _leaves4(mu_full["g"]["layers"]),
+        "v": _leaves4(nu_full["g"]["layers"]),
+        "t": jnp.reshape(jnp.asarray(ast.count, jnp.float32), (1,)),
+    }
+    return lv, (mu_full, nu_full)
+
+
+def gail_leaves_to_state(opt_state, lv: Dict, n_updates: int, moment_trees):
+    """Leaf layout -> (disc_params, optax state), ONCE after the scan.
+    Counts increment in int32 here (authority; the f32 leaf clock is
+    bias-correction-only, exact below 2^24)."""
+    from jax.flatten_util import ravel_pytree
+
+    mu_full, nu_full = moment_trees
+    np4 = lv["p"]
+    l0 = {"w": np4[0], "b": np4[1]}
+    l1 = {"w": np4[2], "b": np4[3]}
+    if lv["sn"]:
+        l0 = {**l0, "u": lv["sn"][0], "v": lv["sn"][1]}
+        l1 = {**l1, "u": lv["sn"][2], "v": lv["sn"][3]}
+    new_params = {"g": {"layers": (l0, l1)}}
+
+    def put_moments(full, w1, b1, w2, b2):
+        ls = full["g"]["layers"]
+        m0 = {**ls[0], "w": w1, "b": b1}
+        m1 = {**ls[1], "w": w2, "b": b2}
+        return {"g": {"layers": (m0, m1)}}
+
+    ast = _adam_state(opt_state)
+    new_opt = _rebuild_opt_state(
+        opt_state,
+        ast.count + n_updates,
+        ravel_pytree(put_moments(mu_full, *lv["m"]))[0],
+        ravel_pytree(put_moments(nu_full, *lv["v"]))[0],
+    )
+    return new_params, new_opt
+
+
+def gail_update_pallas_leaves(
+    discriminator,
+    lv: Dict,
+    expert_batch,
+    policy_batch,
+    eps_gp: jax.Array,
+    tgt_op: jax.Array,
+    *,
+    grad_penalty: float,
+    learning_rate: float,
+    weight_decay: float,
+    loss_function: str,
+    entropy_bonus: float,
+    interpret: bool = False,
+):
+    """One fused discriminator step + reward head on the leaf layout.
+
+    Pure kernel step: no moment unravel/ravel, no RNG — eps_gp (the
+    grad-penalty interpolation draw) and tgt_op (BCE targets|weights or
+    the Mixup eps row, see gail_update_pallas) come precomputed from the
+    caller's one vmapped pass. expert_batch/policy_batch are (s, a, w)
+    triples. Returns (new_leaves, loss(1,), rewards(B,))."""
+    e_s, e_a, e_w = expert_batch
+    p_s, p_a, p_w = policy_batch
+    B = p_s.shape[0]
+    spectral_norm = bool(lv["sn"])
+    batch = (e_s, e_a, e_w, p_s, p_a, p_w, eps_gp, tgt_op)
+    operands = (*lv["p"], *lv["sn"], *lv["m"], *lv["v"], lv["t"], *batch)
+    n_state = 4 + len(lv["sn"]) + 4 + 4 + 1
+    out_shapes = [
+        jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in operands[:n_state]
+    ] + [
+        jax.ShapeDtypeStruct((1,), jnp.float32),  # loss
+        jax.ShapeDtypeStruct((B,), jnp.float32),  # rewards
+    ]
+    static = (
+        B,
+        float(grad_penalty),
+        float(learning_rate),
+        float(weight_decay),
+        spectral_norm,
+        discriminator.reward_function,
+        loss_function,
+        float(entropy_bonus),
+    )
+    outs = pl.pallas_call(
+        partial(_gail_kernel, static),
+        out_shape=out_shapes,
+        input_output_aliases={i: i for i in range(n_state)},
+        interpret=interpret,
+    )(*operands)
+    off = 4 + len(lv["sn"])
+    new_lv = {
+        "p": tuple(outs[0:4]),
+        "sn": tuple(outs[4:off]) if spectral_norm else (),
+        "m": tuple(outs[off : off + 4]),
+        "v": tuple(outs[off + 4 : off + 8]),
+        "t": outs[off + 8],  # f32 clock advances across scan steps
+    }
+    return new_lv, outs[off + 9], outs[off + 10]
+
+
 def gail_update_pallas(
     discriminator,
     disc_params: Dict,

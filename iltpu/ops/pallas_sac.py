@@ -316,6 +316,140 @@ def _rebuild_opt_state(opt_state, count, mu, nu):
     return jax.tree.map(rep, opt_state, is_leaf=lambda x: hasattr(x, "mu"))
 
 
+def sac_state_to_leaves(state) -> Dict:
+    """SACState -> the kernel's flat leaf layout, ONCE.
+
+    The optax.flatten moments are unravelled to per-layer leaves and the
+    int32 Adam counts cast to (1,) f32 (the kernel's bias-correction
+    clock). Pulling this out of the per-update path lets an update scan
+    carry the leaf pytree directly instead of paying the ~30 slice/
+    reshape/concat glue ops per scan step (docs/PERF.md: the update loop
+    is op-latency-bound)."""
+    from jax.flatten_util import ravel_pytree
+
+    _, unravel_a = ravel_pytree(state.actor_params)
+    _, unravel_c = ravel_pytree(state.critic_params)
+    ast = _adam_state(state.actor_opt)
+    cst = _adam_state(state.critic_opt)
+    alst = _adam_state(state.alpha_opt)
+    f32 = lambda x: jnp.asarray(x, jnp.float32)
+    return {
+        "a": _leaves6(state.actor_params),
+        "am": _leaves6(unravel_a(ast.mu)),
+        "av": _leaves6(unravel_a(ast.nu)),
+        "c": _leaves6(state.critic_params),
+        "cm": _leaves6(unravel_c(cst.mu)),
+        "cv": _leaves6(unravel_c(cst.nu)),
+        "t": _leaves6(state.target_critic_params),
+        "la": state.log_alpha,
+        "lam": jnp.reshape(alst.mu, (1,)),
+        "lav": jnp.reshape(alst.nu, (1,)),
+        "ta": f32(ast.count).reshape(1),
+        "tc": f32(cst.count).reshape(1),
+        "tal": f32(alst.count).reshape(1),
+    }
+
+
+def sac_leaves_to_state(state, lv: Dict, n_updates: int):
+    """Rebuild a SACState from the leaf layout after n_updates kernel
+    steps, ONCE. Counts increment in int32 here (the authority — the
+    leaf layout's f32 clock is bias-correction-only; both agree exactly
+    below 2^24 updates, and the f32 clock is re-derived from int32 at
+    every sac_state_to_leaves call)."""
+    from jax.flatten_util import ravel_pytree
+
+    ast = _adam_state(state.actor_opt)
+    cst = _adam_state(state.critic_opt)
+    alst = _adam_state(state.alpha_opt)
+    return state.replace(
+        actor_params=_tree6(lv["a"]),
+        critic_params=_tree6(lv["c"]),
+        target_critic_params=_tree6(lv["t"]),
+        log_alpha=lv["la"],
+        actor_opt=_rebuild_opt_state(
+            state.actor_opt, ast.count + n_updates,
+            ravel_pytree(_tree6(lv["am"]))[0], ravel_pytree(_tree6(lv["av"]))[0],
+        ),
+        critic_opt=_rebuild_opt_state(
+            state.critic_opt, cst.count + n_updates,
+            ravel_pytree(_tree6(lv["cm"]))[0], ravel_pytree(_tree6(lv["cv"]))[0],
+        ),
+        alpha_opt=_rebuild_opt_state(
+            state.alpha_opt, alst.count + n_updates, lv["lam"], lv["lav"]
+        ),
+    )
+
+
+def sac_update_pallas_leaves(
+    learner,
+    lv: Dict,
+    transitions: Dict[str, jax.Array],
+    eps2: jax.Array,
+    eps_new: jax.Array,
+    *,
+    interpret: bool = False,
+):
+    """One fused SAC update on the leaf layout (sac_state_to_leaves).
+
+    Pure kernel step: no moment unravel/ravel, no RNG — the caller
+    provides the reparameterisation noise (eps2 for the TD-target
+    sample, eps_new for the actor sample), which an update scan derives
+    for ALL its steps in one vmapped pass. Returns (new_leaves, aux)
+    with the same aux contract as sac_update_pallas."""
+    S = learner.actor.state_size
+    A = learner.actor.action_size
+    B = transitions["states"].shape[0]
+    batch = (
+        transitions["states"],
+        transitions["actions"],
+        transitions["rewards"],
+        transitions["next_states"],
+        transitions["terminals"],
+        transitions["weights"],
+        transitions["absorbing"],
+    )
+    operands = (
+        *lv["a"], *lv["am"], *lv["av"], *lv["c"], *lv["cm"], *lv["cv"],
+        *lv["t"], lv["la"], lv["lam"], lv["lav"], lv["ta"], lv["tc"],
+        lv["tal"], *batch, eps2, eps_new,
+    )
+    n_state = 6 * 7 + 3 + 3
+    out_shapes = [
+        jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in operands[:n_state]
+    ] + [
+        jax.ShapeDtypeStruct((B,), jnp.float32),  # log_probs
+        jax.ShapeDtypeStruct((B,), jnp.float32),  # min Q (critic-loss batch)
+        jax.ShapeDtypeStruct((1,), jnp.float32),  # alpha (pre-update)
+    ]
+    hyper = SACHyper(
+        lr=learner.lr,
+        weight_decay=learner.weight_decay,
+        alpha_lr=learner.alpha_lr,
+        discount=learner.discount,
+        entropy_target=learner.entropy_target,
+        polyak=learner.polyak_factor,
+    )
+    kernel = partial(_sac_kernel, hyper, (S, A, B))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shapes,
+        input_output_aliases={i: i for i in range(n_state)},
+        interpret=interpret,
+    )(*operands)
+    new_lv = {
+        "a": tuple(outs[0:6]), "am": tuple(outs[6:12]), "av": tuple(outs[12:18]),
+        "c": tuple(outs[18:24]), "cm": tuple(outs[24:30]), "cv": tuple(outs[30:36]),
+        "t": tuple(outs[36:42]),
+        "la": outs[42], "lam": outs[43], "lav": outs[44],
+        # The kernel's +1.0 count outputs ARE the carry here: the f32
+        # clock advances across scan steps (exact below 2^24; the int32
+        # authority is restored by sac_leaves_to_state).
+        "ta": outs[45], "tc": outs[46], "tal": outs[47],
+    }
+    aux = {"log_probs": outs[48], "Q_values": outs[49], "alpha": outs[50][0]}
+    return new_lv, aux
+
+
 def sac_update_pallas(
     learner,
     state,

@@ -442,6 +442,30 @@ class Trainer:
                 f"batch_size {B} must divide the {n_dev}-device data mesh"
             )
 
+        # Fused update SCAN (GAIL fast path): carry the Pallas kernels'
+        # leaf-layout state through the per-iteration update scan and
+        # derive ALL per-update RNG in one vmapped pass before the scan.
+        # The per-step path pays ~30 moment unravel/ravel glue ops plus a
+        # 4-deep key-split chain per scan step — pure op latency on an
+        # op-latency-bound loop (docs/PERF.md). Matches the per-step
+        # Pallas path to float rounding (same kernels, same operands,
+        # same key derivation; pinned by tests/test_fused_scan.py).
+        self._fused_scan = bool(cfg.training.get("fused_update_scan", False))
+        if self._fused_scan:
+            supported = (
+                alg == "GAIL"
+                and self._sac_pallas
+                and self._disc_pallas
+                and not icfg.bc_aux_loss
+                and self.mesh is None
+            )
+            if not supported:
+                raise ValueError(
+                    "training.fused_update_scan=true requires algorithm=GAIL "
+                    "with training.sac_pallas and training.disc_pallas, no "
+                    "bc_aux_loss, and a single-device (mesh-free) run"
+                )
+
         # Acting: per-step keys derived on device via fold_in (no host-side
         # key splitting in the hot loop).
         self._interact = jax.jit(
@@ -755,6 +779,131 @@ class Trainer:
                     lambda x: x.reshape((n_updates, B) + x.shape[1:]),
                     replay_sample(state["expert"], ke, n_updates * B),
                 )
+
+                if self._fused_scan:
+                    from iltpu.ops.pallas_gail import (
+                        gail_leaves_to_state,
+                        gail_state_to_leaves,
+                        gail_update_pallas_leaves,
+                    )
+                    from iltpu.ops.pallas_sac import (
+                        sac_leaves_to_state,
+                        sac_state_to_leaves,
+                        sac_update_pallas_leaves,
+                    )
+
+                    interp = jax.default_backend() != "tpu"
+                    mixup = icfg.loss_function == "Mixup"
+
+                    # ALL per-update randomness in ONE vmapped pass,
+                    # reproducing update_fn's exact key derivation
+                    # (split(key, 6) -> k_disc/k_sac; the kernels'
+                    # (k_mixup, k_gp) and (k_next, k_new) sub-splits) so
+                    # the draws are bit-identical to the per-step path.
+                    def derive_rng(k):
+                        _, _, k_disc, _, _, k_sac = jax.random.split(k, 6)
+                        k_mixup, k_gp = jax.random.split(k_disc)
+                        k_next, k_new = jax.random.split(k_sac)
+                        out = {
+                            "eps_gp": jax.random.uniform(k_gp, (B,)),
+                            "eps2": jax.random.normal(
+                                k_next, (B, A_act), jnp.float32
+                            ),
+                            "eps_new": jax.random.normal(
+                                k_new, (B, A_act), jnp.float32
+                            ),
+                        }
+                        if mixup:
+                            # Beta(1,1) == Uniform closed form, as in
+                            # gail_update_pallas.
+                            out["mix"] = (
+                                jax.random.uniform(k_mixup, (B,))
+                                if icfg.mixup_alpha == 1.0
+                                else jax.random.beta(
+                                    k_mixup,
+                                    icfg.mixup_alpha,
+                                    icfg.mixup_alpha,
+                                    (B,),
+                                )
+                            )
+                        return out
+
+                    rngs = jax.vmap(derive_rng)(keys)
+                    if mixup:
+                        tgt_op = rngs.pop("mix").reshape(n_updates, 1, B)
+                    else:
+                        tgt_op = jnp.stack(
+                            [
+                                jnp.broadcast_to(
+                                    jnp.concatenate(
+                                        [jnp.ones((B,)), jnp.zeros((B,))]
+                                    ),
+                                    (n_updates, 2 * B),
+                                ),
+                                jnp.concatenate(
+                                    [
+                                        expert_batches["weights"],
+                                        batches["weights"],
+                                    ],
+                                    axis=1,
+                                ),
+                            ],
+                            axis=1,
+                        )  # (n_updates, 2, 2B): [BCE targets | weights]
+                    sac_lv0 = sac_state_to_leaves(state["sac"])
+                    disc_lv0, moment_trees = gail_state_to_leaves(
+                        state["disc"], state["disc_opt"]
+                    )
+
+                    def one_update_fast(c, xs):
+                        s_lv, d_lv = c
+                        tb, eb, rng, tgt = xs
+                        d_lv, d_loss, rewards = gail_update_pallas_leaves(
+                            disc,
+                            d_lv,
+                            (eb["states"], eb["actions"], eb["weights"]),
+                            (tb["states"], tb["actions"], tb["weights"]),
+                            rng["eps_gp"],
+                            tgt,
+                            grad_penalty=icfg.grad_penalty,
+                            learning_rate=icfg.learning_rate,
+                            weight_decay=icfg.weight_decay,
+                            loss_function=icfg.loss_function,
+                            entropy_bonus=icfg.entropy_bonus,
+                            interpret=interp,
+                        )
+                        tb = dict(tb)
+                        tb["rewards"] = jax.lax.stop_gradient(rewards)
+                        s_lv, sac_aux = sac_update_pallas_leaves(
+                            learner,
+                            s_lv,
+                            tb,
+                            rng["eps2"],
+                            rng["eps_new"],
+                            interpret=interp,
+                        )
+                        up_aux = {
+                            "discriminator_loss": d_loss[0],
+                            "predicted_rewards": tb["rewards"],
+                            "alphas": sac_aux["alpha"],
+                            "entropies": -sac_aux["log_probs"],
+                            "Q_values": sac_aux["Q_values"],
+                        }
+                        return (s_lv, d_lv), up_aux
+
+                    (sac_lv, disc_lv), upd_aux = jax.lax.scan(
+                        one_update_fast,
+                        (sac_lv0, disc_lv0),
+                        (batches, expert_batches, rngs, tgt_op),
+                    )
+                    state["sac"] = sac_leaves_to_state(
+                        state["sac"], sac_lv, n_updates
+                    )
+                    state["disc"], state["disc_opt"] = gail_leaves_to_state(
+                        state["disc_opt"], disc_lv, n_updates, moment_trees
+                    )
+                    aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
+                    return state, aux
 
                 # Narrow the scan carry to the keys update_fn can write
                 # (models/optimisers/relabel state). The replay and expert

@@ -72,6 +72,10 @@ def main():
     # whole update scan (trainer fast path; bit-identical to the per-step
     # Pallas path). BENCH_FUSED=0 A/Bs the per-step scan.
     fused = pallas and os.environ.get("BENCH_FUSED", "1") != "0"
+    # K-blocked update kernel: K sequential micro-updates per Pallas
+    # kernel with the state resident in VMEM (exact sequential
+    # semantics). BENCH_BLOCK=1 reverts to the per-step fused scan.
+    blockk = int(os.environ.get("BENCH_BLOCK", 16)) if fused else 1
     # BENCH_TUNED=1: bench the QUALITY configuration — the tuned GAIL@10
     # overlay (Mixup loss + AIRL reward head, batch 512) that produces the
     # best validated scores (RESULTS.md), so the headline throughput claim
@@ -93,6 +97,7 @@ def main():
                 f"training.sac_pallas={str(pallas).lower()}",
                 f"training.disc_pallas={str(pallas_disc).lower()}",
                 f"training.fused_update_scan={str(fused).lower()}",
+                f"training.update_block={blockk}",
                 f"training.timing_skip_steps={skip}",
                 f"training.timing_marks={windows}",
                 f"prng={prng}",

@@ -35,39 +35,24 @@ from jax.experimental import pallas as pl
 from iltpu.ops.pallas_sac import _adam_step, _adam_state, _rebuild_opt_state
 
 
-def _gail_kernel(static, *refs):
+def _gail_core(static, gv, batch):
+    """The whole discriminator step + reward head on plain VALUES: state
+    dict `gv` ({p, sn, m, v, t} as in gail_state_to_leaves) + batch tuple
+    (e_s, e_a, e_w, p_s, p_a, p_w, eps_gp, tgt) -> (new state dict,
+    loss(1,), rewards(B,)). Shared by the single-update kernel and the
+    K-blocked kernel (pallas_fused_block.py)."""
     (B, grad_penalty, lr, wd, spectral_norm, reward_function,
      loss_function, entropy_bonus) = static
-    it = iter(range(len(refs)))
-
-    def take(n):
-        return [refs[next(it)] for _ in range(n)]
-
-    (w1_ref, b1_ref, w2_ref, b2_ref) = take(4)
-    sn = take(4) if spectral_norm else []  # u1, v1, u2, v2
-    m4 = take(4)
-    v4 = take(4)
-    (t_ref,) = take(1)
-    (es_ref, ea_ref, ew_ref, ps_ref, pa_ref, pw_ref, eps_ref, tgt_ref) = take(8)
-    o_params = take(4)
-    o_sn = take(4) if spectral_norm else []
-    o_m = take(4)
-    o_v = take(4)
-    (o_t,) = take(1)
-    (o_loss, o_rewards) = take(2)
-
-    e_s, e_a, e_w = es_ref[...], ea_ref[...], ew_ref[...]
-    p_s, p_a, p_w = ps_ref[...], pa_ref[...], pw_ref[...]
-    eps_gp = eps_ref[...]
+    (e_s, e_a, e_w, p_s, p_a, p_w, eps_gp, tgt_op) = batch
     if loss_function == "BCE":
         # (2B,) [targets | weights] stacked as (2, 2B) to keep operands
         # 2D-ish:
-        tgt = tgt_ref[0]
-        w_all = tgt_ref[1]
-    else:  # Mixup: tgt_ref carries eps ~ Beta(alpha, alpha), shape (1, B)
-        eps_mix = tgt_ref[0]
+        tgt = tgt_op[0]
+        w_all = tgt_op[1]
+    else:  # Mixup: tgt_op carries eps ~ Beta(alpha, alpha), shape (1, B)
+        eps_mix = tgt_op[0]
     if spectral_norm:
-        u1, v1, u2, v2 = (r[...] for r in sn)
+        u1, v1, u2, v2 = gv["sn"]
 
     def fwd(params, s, a):
         w1, b1, w2, b2 = params
@@ -123,23 +108,22 @@ def _gail_kernel(static, *refs):
             loss = loss + grad_penalty * jnp.mean(g_w * sq)
         return loss
 
-    params = (w1_ref[...], b1_ref[...], w2_ref[...], b2_ref[...])
+    params = gv["p"]
     loss, grads = jax.value_and_grad(loss_fn)(params)
 
     # (1,) vectors for scalar state: Mosaic cannot store scalars to VMEM.
-    t_v = t_ref[...] + 1.0
+    t_v = gv["t"] + 1.0
     t = t_v[0]
-    new_params = []
+    new_params, new_m, new_v = [], [], []
     for i in range(4):
-        p, m, v = _adam_step(params[i], grads[i], m4[i][...], v4[i][...], t, lr, wd)
+        p, m, v = _adam_step(params[i], grads[i], gv["m"][i], gv["v"][i], t, lr, wd)
         new_params.append(p)
-        o_params[i][...] = p
-        o_m[i][...] = m
-        o_v[i][...] = v
-    o_t[...] = t_v
+        new_m.append(m)
+        new_v.append(v)
 
     # Spectral-norm power iteration on the UPDATED weights (fcnn.py
     # update_spectral_norm: v <- normalize(W u); u <- normalize(W^T v)).
+    new_sn = ()
     if spectral_norm:
         def power_iter(w, u):
             # 2D column vectors throughout: Mosaic lowers 2D matmuls and
@@ -157,10 +141,7 @@ def _gail_kernel(static, *refs):
 
         nu1, nv1 = power_iter(new_params[0], u1)
         nu2, nv2 = power_iter(new_params[2], u2)
-        o_sn[0][...] = nu1
-        o_sn[1][...] = nv1
-        o_sn[2][...] = nu2
-        o_sn[3][...] = nv2
+        new_sn = (nu1, nv1, nu2, nv2)
         u1, v1, u2, v2 = nu1, nv1, nu2, nv2
 
     # Reward head with the updated parameters (train.py:177-198 ordering;
@@ -173,8 +154,56 @@ def _gail_kernel(static, *refs):
         r = jnp.log(D + 1e-6) - jnp.log1p(-D + 1e-6)
         if reward_function == "FAIRL":
             r = jnp.exp(r) * -r
-    o_rewards[...] = r
-    o_loss[...] = loss * jnp.ones((1,), jnp.float32)
+    new_gv = {
+        "p": tuple(new_params),
+        "sn": new_sn,
+        "m": tuple(new_m),
+        "v": tuple(new_v),
+        "t": t_v,
+    }
+    return new_gv, loss * jnp.ones((1,), jnp.float32), r
+
+
+def _gail_kernel(static, *refs):
+    spectral_norm = static[4]
+    it = iter(range(len(refs)))
+
+    def take(n):
+        return [refs[next(it)] for _ in range(n)]
+
+    p4 = take(4)
+    sn = take(4) if spectral_norm else []  # u1, v1, u2, v2
+    m4 = take(4)
+    v4 = take(4)
+    (t_ref,) = take(1)
+    batch_refs = take(8)  # e_s, e_a, e_w, p_s, p_a, p_w, eps_gp, tgt
+    o_params = take(4)
+    o_sn = take(4) if spectral_norm else []
+    o_m = take(4)
+    o_v = take(4)
+    (o_t,) = take(1)
+    (o_loss, o_rewards) = take(2)
+
+    gv = {
+        "p": tuple(r_[...] for r_ in p4),
+        "sn": tuple(r_[...] for r_ in sn),
+        "m": tuple(r_[...] for r_ in m4),
+        "v": tuple(r_[...] for r_ in v4),
+        "t": t_ref[...],
+    }
+    new_gv, loss, rewards = _gail_core(
+        static, gv, tuple(r_[...] for r_ in batch_refs)
+    )
+    for i in range(4):
+        o_params[i][...] = new_gv["p"][i]
+        o_m[i][...] = new_gv["m"][i]
+        o_v[i][...] = new_gv["v"][i]
+    if spectral_norm:
+        for i in range(4):
+            o_sn[i][...] = new_gv["sn"][i]
+    o_t[...] = new_gv["t"]
+    o_loss[...] = loss
+    o_rewards[...] = rewards
 
 
 def _leaves4(ls):

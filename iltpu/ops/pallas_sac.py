@@ -114,56 +114,25 @@ def _log_prob(ls, eps, z):
 # The kernel
 
 
-def _sac_kernel(hyper: SACHyper, sizes, *refs):
+def _sac_core(hyper: SACHyper, sizes, sv, batch):
+    """The whole SAC update on plain VALUES (no refs): state dict `sv`
+    (keys as in sac_state_to_leaves; critic leaves (2, ...) stacked) +
+    batch tuple -> (new state dict, (log_probs, min_q, alpha_pre)).
+    Shared by the single-update kernel and the K-blocked kernel
+    (pallas_fused_block.py), where it runs inside a fori_loop with the
+    state resident in VMEM."""
     (S, A, B) = sizes
     lr, wd, alpha_lr = hyper.lr, hyper.weight_decay, hyper.alpha_lr
     discount, H_target, rho = hyper.discount, hyper.entropy_target, hyper.polyak
-
-    it = iter(range(len(refs)))
-
-    def take(n):
-        return [refs[next(it)] for _ in range(n)]
-
-    # Operand order must match `_flatten_operands` below.
-    aw = take(6)          # actor W1,b1,W2,b2,W3,b3
-    am = take(6)          # actor adam m (same layout)
-    av = take(6)          # actor adam v
-    cw = take(6)          # critic stacked (2,...) W1,b1,W2,b2,W3,b3
-    cm = take(6)
-    cv = take(6)
-    tw = take(6)          # target critic stacked
-    (la_ref, lam_ref, lav_ref) = take(3)   # log_alpha + adam m/v (1,)
-    (ta_ref, tc_ref, tal_ref) = take(3)    # adam step counts (1,) f32
-    (s_ref, a_ref, r_ref, s2_ref, term_ref, w_ref, ab_ref) = take(7)
-    (eps2_ref, epsn_ref) = take(2)
-    # outputs (aliased to the state inputs) + aux
-    o_aw = take(6)
-    o_am = take(6)
-    o_av = take(6)
-    o_cw = take(6)
-    o_cm = take(6)
-    o_cv = take(6)
-    o_tw = take(6)
-    (o_la, o_lam, o_lav) = take(3)
-    (o_ta, o_tc, o_tal) = take(3)
-    (o_lp, o_minq, o_alpha) = take(3)
-
-    s = s_ref[...]
-    a = a_ref[...]
-    r = r_ref[...]
-    s2 = s2_ref[...]
-    term = term_ref[...]
-    wgt = w_ref[...]
-    ab = ab_ref[...]
-    eps2 = eps2_ref[...]
-    eps_new = epsn_ref[...]
-    # Mosaic cannot load/store scalars to VMEM — every scalar state lives
-    # in (1,) vectors; values are extracted with [0] (a value slice, legal).
-    log_alpha_v = la_ref[...]
+    (s, a, r, s2, term, wgt, ab, eps2, eps_new) = batch
+    aw, am, av = sv["a"], sv["am"], sv["av"]
+    cw, cm, cv = sv["c"], sv["cm"], sv["cv"]
+    tw = sv["t"]
+    log_alpha_v = sv["la"]
     alpha = jnp.exp(log_alpha_v[0])
 
-    actor_W = [aw[0][...], aw[2][...], aw[4][...]]
-    actor_b = [aw[1][...], aw[3][...], aw[5][...]]
+    actor_W = [aw[0], aw[2], aw[4]]
+    actor_b = [aw[1], aw[3], aw[5]]
 
     def critic_fwd(stacked, x):
         """Twin critic forward; returns ((q1, cache1), (q2, cache2))."""
@@ -181,17 +150,17 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
     lp2 = _log_prob(ls2, eps2, z2)
     na = (1.0 - ab[:, None]) * jnp.tanh(z2)
     x2 = jnp.concatenate([s2, na], axis=-1)
-    tgt_out = critic_fwd([t[...] for t in tw], x2)
+    tgt_out = critic_fwd(tw, x2)
     tq = jnp.minimum(tgt_out[0][0], tgt_out[1][0])
     target_v = tq - (1.0 - ab) * alpha * lp2
     td_target = r + (1.0 - term) * discount * target_v
 
     # ---- Critic step (training.py:26-31) -------------------------------
     x = jnp.concatenate([s, a], axis=-1)
-    cur = critic_fwd([c[...] for c in cw], x)
+    cur = critic_fwd(cw, x)
     q1, q2 = cur[0][0], cur[1][0]
     min_q = jnp.minimum(q1, q2)
-    t_c_v = tc_ref[...] + 1.0
+    t_c_v = sv["tc"] + 1.0
     t_c = t_c_v[0]
     # Per-twin AdamW on the (2, ...) stacked leaves: static twin index k
     # avoids materialising 3D stacks inside the kernel.
@@ -237,11 +206,11 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
     g_ls = g_ls * ((l_raw1 >= -20.0) & (l_raw1 <= 2.0)).astype(jnp.float32)
     do = jnp.concatenate([g_mu, g_ls], axis=-1)
     ag, _ = _mlp_bwd(do, actor_cache, actor_W)
-    t_a_v = ta_ref[...] + 1.0
+    t_a_v = sv["ta"] + 1.0
     t_a = t_a_v[0]
     new_aw, new_am, new_av = [], [], []
     for i in range(6):
-        p, m, v = _adam_step(aw[i][...], ag[i], am[i][...], av[i][...], t_a, lr, wd)
+        p, m, v = _adam_step(aw[i], ag[i], am[i], av[i], t_a, lr, wd)
         new_aw.append(p)
         new_am.append(m)
         new_av.append(v)
@@ -250,30 +219,111 @@ def _sac_kernel(hyper: SACHyper, sizes, *refs):
     g_la = (
         -jnp.sum(wgt * (1.0 - ab) * (lp1 + H_target), keepdims=True) / B * alpha
     )  # (1,)
-    t_al_v = tal_ref[...] + 1.0
+    t_al_v = sv["tal"] + 1.0
     la_new, lam_new, lav_new = _adam_step(
-        log_alpha_v, g_la, lam_ref[...], lav_ref[...], t_al_v[0], alpha_lr, 0.0
+        log_alpha_v, g_la, sv["lam"], sv["lav"], t_al_v[0], alpha_lr, 0.0
     )
+
+    def stack2(pair):
+        return jnp.stack([pair[0], pair[1]])
+
+    new_sv = {
+        "a": tuple(new_aw),
+        "am": tuple(new_am),
+        "av": tuple(new_av),
+        "c": tuple(stack2(new_cw[i]) for i in range(6)),
+        "cm": tuple(stack2(new_cm[i]) for i in range(6)),
+        "cv": tuple(stack2(new_cv[i]) for i in range(6)),
+        "t": tuple(
+            jnp.stack(
+                [
+                    rho * tw[i][k] + (1.0 - rho) * new_cw[i][k]
+                    for k in (0, 1)
+                ]
+            )
+            for i in range(6)
+        ),
+        "la": la_new,
+        "lam": lam_new,
+        "lav": lav_new,
+        "ta": t_a_v,
+        "tc": t_c_v,
+        "tal": t_al_v,
+    }
+    return new_sv, (lp1, min_q, jnp.exp(log_alpha_v))
+
+
+def _sac_kernel(hyper: SACHyper, sizes, *refs):
+    it = iter(range(len(refs)))
+
+    def take(n):
+        return [refs[next(it)] for _ in range(n)]
+
+    # Operand order must match the wrapper's `operands` tuple.
+    aw = take(6)          # actor W1,b1,W2,b2,W3,b3
+    am = take(6)          # actor adam m (same layout)
+    av = take(6)          # actor adam v
+    cw = take(6)          # critic stacked (2,...) W1,b1,W2,b2,W3,b3
+    cm = take(6)
+    cv = take(6)
+    tw = take(6)          # target critic stacked
+    (la_ref, lam_ref, lav_ref) = take(3)   # log_alpha + adam m/v (1,)
+    (ta_ref, tc_ref, tal_ref) = take(3)    # adam step counts (1,) f32
+    (s_ref, a_ref, r_ref, s2_ref, term_ref, w_ref, ab_ref) = take(7)
+    (eps2_ref, epsn_ref) = take(2)
+    # outputs (aliased to the state inputs) + aux
+    o_aw = take(6)
+    o_am = take(6)
+    o_av = take(6)
+    o_cw = take(6)
+    o_cm = take(6)
+    o_cv = take(6)
+    o_tw = take(6)
+    (o_la, o_lam, o_lav) = take(3)
+    (o_ta, o_tc, o_tal) = take(3)
+    (o_lp, o_minq, o_alpha) = take(3)
+
+    # Mosaic cannot load/store scalars to VMEM — every scalar state lives
+    # in (1,) vectors; values are extracted with [0] (a value slice, legal).
+    sv = {
+        "a": tuple(r_[...] for r_ in aw),
+        "am": tuple(r_[...] for r_ in am),
+        "av": tuple(r_[...] for r_ in av),
+        "c": tuple(r_[...] for r_ in cw),
+        "cm": tuple(r_[...] for r_ in cm),
+        "cv": tuple(r_[...] for r_ in cv),
+        "t": tuple(r_[...] for r_ in tw),
+        "la": la_ref[...],
+        "lam": lam_ref[...],
+        "lav": lav_ref[...],
+        "ta": ta_ref[...],
+        "tc": tc_ref[...],
+        "tal": tal_ref[...],
+    }
+    batch = (
+        s_ref[...], a_ref[...], r_ref[...], s2_ref[...], term_ref[...],
+        w_ref[...], ab_ref[...], eps2_ref[...], epsn_ref[...],
+    )
+    new_sv, (lp1, min_q, alpha_pre) = _sac_core(hyper, sizes, sv, batch)
 
     # ---- Writes ---------------------------------------------------------
     for i in range(6):
-        o_aw[i][...] = new_aw[i]
-        o_am[i][...] = new_am[i]
-        o_av[i][...] = new_av[i]
-        for k in (0, 1):
-            o_cw[i][k] = new_cw[i][k]
-            o_cm[i][k] = new_cm[i][k]
-            o_cv[i][k] = new_cv[i][k]
-            o_tw[i][k] = rho * tw[i][k] + (1.0 - rho) * new_cw[i][k]
-    o_la[...] = la_new
-    o_lam[...] = lam_new
-    o_lav[...] = lav_new
-    o_ta[...] = t_a_v
-    o_tc[...] = t_c_v
-    o_tal[...] = t_al_v
+        o_aw[i][...] = new_sv["a"][i]
+        o_am[i][...] = new_sv["am"][i]
+        o_av[i][...] = new_sv["av"][i]
+        o_cw[i][...] = new_sv["c"][i]
+        o_cm[i][...] = new_sv["cm"][i]
+        o_cv[i][...] = new_sv["cv"][i]
+        o_tw[i][...] = new_sv["t"][i]
+    o_la[...] = new_sv["la"]
+    o_lam[...] = new_sv["lam"]
+    o_lav[...] = new_sv["lav"]
+    o_ta[...] = new_sv["ta"]
+    o_tc[...] = new_sv["tc"]
+    o_tal[...] = new_sv["tal"]
     o_lp[...] = lp1
     o_minq[...] = min_q
-    o_alpha[...] = jnp.exp(log_alpha_v)
+    o_alpha[...] = alpha_pre
 
 
 # --------------------------------------------------------------------------

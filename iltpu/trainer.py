@@ -451,6 +451,12 @@ class Trainer:
         # Pallas path to float rounding (same kernels, same operands,
         # same key derivation; pinned by tests/test_fused_scan.py).
         self._fused_scan = bool(cfg.training.get("fused_update_scan", False))
+        # K-blocked update kernel (training.update_block=K > 1, fast path
+        # only): K sequential micro-updates per Pallas kernel, state in
+        # VMEM across all K (iltpu/ops/pallas_fused_block.py). Iterations
+        # whose update count K does not divide fall back to the per-step
+        # fused scan.
+        self._update_block = int(cfg.training.get("update_block", 1) or 1)
         if self._fused_scan:
             supported = (
                 alg == "GAIL"
@@ -854,6 +860,68 @@ class Trainer:
                     disc_lv0, moment_trees = gail_state_to_leaves(
                         state["disc"], state["disc_opt"]
                     )
+
+                    block = self._update_block
+                    if block > 1 and n_updates % block == 0:
+                        # K-blocked: K sequential micro-updates per kernel
+                        # with the whole state resident in VMEM
+                        # (iltpu/ops/pallas_fused_block.py) — removes the
+                        # per-update kernel-launch + carry HBM round-trip.
+                        from iltpu.ops.pallas_fused_block import (
+                            gail_sac_update_kblock,
+                        )
+
+                        nch = n_updates // block
+
+                        def resh(x):
+                            return x.reshape((nch, block) + x.shape[1:])
+
+                        def one_chunk(c, xs):
+                            s_lv, d_lv = c
+                            tb, eb, gp, tg, e2, en = xs
+                            s_lv, d_lv, up_aux = gail_sac_update_kblock(
+                                learner,
+                                disc,
+                                s_lv,
+                                d_lv,
+                                tb,
+                                eb,
+                                gp,
+                                tg,
+                                e2,
+                                en,
+                                grad_penalty=icfg.grad_penalty,
+                                learning_rate=icfg.learning_rate,
+                                weight_decay=icfg.weight_decay,
+                                loss_function=icfg.loss_function,
+                                entropy_bonus=icfg.entropy_bonus,
+                                interpret=interp,
+                            )
+                            return (s_lv, d_lv), up_aux
+
+                        (sac_lv, disc_lv), upd_aux = jax.lax.scan(
+                            one_chunk,
+                            (sac_lv0, disc_lv0),
+                            (
+                                jax.tree.map(resh, batches),
+                                jax.tree.map(resh, expert_batches),
+                                resh(rngs["eps_gp"]),
+                                resh(tgt_op),
+                                resh(rngs["eps2"]),
+                                resh(rngs["eps_new"]),
+                            ),
+                        )
+                        state["sac"] = sac_leaves_to_state(
+                            state["sac"], sac_lv, n_updates
+                        )
+                        state["disc"], state["disc_opt"] = (
+                            gail_leaves_to_state(
+                                state["disc_opt"], disc_lv, n_updates,
+                                moment_trees,
+                            )
+                        )
+                        aux.update(jax.tree.map(lambda x: x[-1], upd_aux))
+                        return state, aux
 
                     def one_update_fast(c, xs):
                         s_lv, d_lv = c

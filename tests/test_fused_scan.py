@@ -60,10 +60,13 @@ def _step_data(key, n, S, A):
     )
 
 
+@pytest.mark.parametrize("block", [1, 4], ids=["perstep", "kblock4"])
 @pytest.mark.parametrize("extra", [(), TUNEDLIKE], ids=["bce_sn", "mixup_airl"])
-def test_fused_scan_bit_identical(tmp_path, extra):
+def test_fused_scan_bit_identical(tmp_path, extra, block):
     slow = _make(tmp_path, False, extra)
-    fast = _make(tmp_path, True, extra)
+    fast = _make(
+        tmp_path, True, tuple(extra) + (f"training.update_block={block}",)
+    )
     S = slow.env.obs_size
     A = slow.env.action_size
     n = 4

@@ -80,23 +80,20 @@ def _kblock_kernel(hyper: SACHyper, gail_static, sizes, K, spectral_norm,
         "v": tuple(r_[...] for r_ in gv4),
         "t": gt_ref[...],
     }
-    # Load the K-stacked slabs once; micro-updates dynamic-slice rows.
-    slabs = tuple(
-        r_[...]
-        for r_ in (
-            ps_ref, pa_ref, pw_ref, s2_ref, term_ref, ab_ref,
-            es_ref, ea_ref, ew_ref, epsgp_ref, tgt_ref, eps2_ref, epsn_ref,
-        )
-    )
     (S, A, B) = sizes
 
     def body(k, carry):
         sv, gvs, _aux = carry
-        (p_s, p_a, p_w, s2, term, ab, e_s, e_a, e_w, eps_gp, tgt, eps2,
-         eps_new) = (
-            jax.lax.dynamic_index_in_dim(x, k, 0, keepdims=False)
-            for x in slabs
-        )
+        # Per-micro-update rows load straight from the K-stacked VMEM
+        # refs: dynamic indexing is only legal on the UNTILED leading dim
+        # (Mosaic cannot dynamic-slice materialised values), so every
+        # slab is shipped 3D — (K, B, D) columns, (K, 1, B) rows.
+        p_s, p_a, s2 = ps_ref[k], pa_ref[k], s2_ref[k]
+        e_s, e_a = es_ref[k], ea_ref[k]
+        eps2, eps_new = eps2_ref[k], epsn_ref[k]
+        tgt = tgt_ref[k]
+        p_w, term, ab = pw_ref[k][0], term_ref[k][0], ab_ref[k][0]
+        e_w, eps_gp = ew_ref[k][0], epsgp_ref[k][0]
         gvs, loss, rewards = _gail_core(
             gail_static, gvs, (e_s, e_a, e_w, p_s, p_a, p_w, eps_gp, tgt)
         )
@@ -175,11 +172,15 @@ def gail_sac_update_kblock(
         *gail_lv["p"], *gail_lv["sn"], *gail_lv["m"], *gail_lv["v"],
         gail_lv["t"],
     )
+    def row3(x):  # (K, B) row operands -> (K, 1, B): dynamic indexing is
+        return x.reshape(K, 1, B)  # only legal on the untiled leading dim
+
     batch_ops = (
-        policy["states"], policy["actions"], policy["weights"],
-        policy["next_states"], policy["terminals"], policy["absorbing"],
-        expert["states"], expert["actions"], expert["weights"],
-        eps_gp, tgt_op, eps2, eps_new,
+        policy["states"], policy["actions"], row3(policy["weights"]),
+        policy["next_states"], row3(policy["terminals"]),
+        row3(policy["absorbing"]),
+        expert["states"], expert["actions"], row3(expert["weights"]),
+        row3(eps_gp), tgt_op, eps2, eps_new,
     )
     operands = (*sac_state_ops, *gail_state_ops, *batch_ops)
     n_state = len(sac_state_ops) + len(gail_state_ops)

@@ -74,8 +74,9 @@ def main():
     fused = pallas and os.environ.get("BENCH_FUSED", "1") != "0"
     # K-blocked update kernel: K sequential micro-updates per Pallas
     # kernel with the state resident in VMEM (exact sequential
-    # semantics). BENCH_BLOCK=1 reverts to the per-step fused scan.
-    blockk = int(os.environ.get("BENCH_BLOCK", 16)) if fused else 1
+    # semantics). Default 1 (per-step fused scan) until the K-block
+    # on-chip A/B lands; BENCH_BLOCK=K opts in.
+    blockk = int(os.environ.get("BENCH_BLOCK", 1)) if fused else 1
     # BENCH_TUNED=1: bench the QUALITY configuration — the tuned GAIL@10
     # overlay (Mixup loss + AIRL reward head, batch 512) that produces the
     # best validated scores (RESULTS.md), so the headline throughput claim

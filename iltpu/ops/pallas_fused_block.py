@@ -200,6 +200,7 @@ def gail_sac_update_kblock(
         discount=learner.discount,
         entropy_target=learner.entropy_target,
         polyak=learner.polyak_factor,
+        min_alpha=learner.min_alpha,
     )
     gail_static = (
         B,

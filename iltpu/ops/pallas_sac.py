@@ -48,6 +48,12 @@ class SACHyper(NamedTuple):
     discount: float
     entropy_target: float
     polyak: float
+    # Opt-in temperature floor (reinforcement.min_alpha; 0 = exact
+    # reference SAC). Floors the alpha USED by the TD target and the
+    # actor's entropy term — the temperature's own gradient keeps the
+    # raw exp(log_alpha) so log_alpha can rise back above the floor
+    # (updates/sac.py:113-203 semantics).
+    min_alpha: float = 0.0
 
 
 # --------------------------------------------------------------------------
@@ -129,7 +135,12 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
     cw, cm, cv = sv["c"], sv["cm"], sv["cv"]
     tw = sv["t"]
     log_alpha_v = sv["la"]
-    alpha = jnp.exp(log_alpha_v[0])
+    alpha_raw = jnp.exp(log_alpha_v[0])
+    alpha = (
+        jnp.maximum(alpha_raw, hyper.min_alpha)
+        if hyper.min_alpha > 0.0
+        else alpha_raw
+    )
 
     actor_W = [aw[0], aw[2], aw[4]]
     actor_b = [aw[1], aw[3], aw[5]]
@@ -216,8 +227,12 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
         new_av.append(v)
 
     # Temperature: plain Adam on the PRE-update log_alpha (training.py:44-49).
+    # Uses the RAW alpha even under a min_alpha floor (the floor clamps
+    # only the alpha consumed by the losses, never log_alpha's dynamics).
     g_la = (
-        -jnp.sum(wgt * (1.0 - ab) * (lp1 + H_target), keepdims=True) / B * alpha
+        -jnp.sum(wgt * (1.0 - ab) * (lp1 + H_target), keepdims=True)
+        / B
+        * alpha_raw
     )  # (1,)
     t_al_v = sv["tal"] + 1.0
     la_new, lam_new, lav_new = _adam_step(
@@ -250,7 +265,9 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
         "tc": t_c_v,
         "tal": t_al_v,
     }
-    return new_sv, (lp1, min_q, jnp.exp(log_alpha_v))
+    # aux alpha mirrors the XLA path: the FLOORED pre-update value
+    # (max with 0.0 is the identity when no floor is set — exp > 0).
+    return new_sv, (lp1, min_q, jnp.maximum(jnp.exp(log_alpha_v), hyper.min_alpha))
 
 
 def _sac_kernel(hyper: SACHyper, sizes, *refs):
@@ -478,6 +495,7 @@ def sac_update_pallas_leaves(
         discount=learner.discount,
         entropy_target=learner.entropy_target,
         polyak=learner.polyak_factor,
+        min_alpha=learner.min_alpha,
     )
     kernel = partial(_sac_kernel, hyper, (S, A, B))
     outs = pl.pallas_call(
@@ -580,6 +598,7 @@ def sac_update_pallas(
         discount=learner.discount,
         entropy_target=learner.entropy_target,
         polyak=learner.polyak_factor,
+        min_alpha=learner.min_alpha,
     )
     kernel = partial(_sac_kernel, hyper, (S, A, B))
     outs = pl.pallas_call(

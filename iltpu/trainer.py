@@ -249,11 +249,9 @@ class Trainer:
                     "actor/critic MLPs without dropout or spectral norm "
                     f"(algorithm={self.alg})"
                 )
-            if self.learner.min_alpha > 0.0:
-                raise ValueError(
-                    "reinforcement.min_alpha is not implemented in the "
-                    "fused Pallas SAC kernel; set training.sac_pallas=false"
-                )
+            # reinforcement.min_alpha is supported: SACHyper.min_alpha
+            # floors the loss-side alpha inside the kernel (raw
+            # exp(log_alpha) keeps driving the temperature update).
         # Fused Pallas GAIL discriminator step (iltpu/ops/pallas_gail.py):
         # the production BCE configuration and the tuned quality
         # configuration (Mixup + entropy bonus + any reward head).

@@ -75,3 +75,26 @@ def test_pallas_update_matches_xla_chained(setup):
         s_pl, _ = sac_update_pallas(learner, s_pl, key, t, interpret=True)
         s_xla, _ = learner.update(s_xla, key, t)
     _assert_state_close(s_pl, s_xla, rtol=1e-4, atol=1e-5)
+
+
+def test_pallas_update_min_alpha_floor(setup):
+    """reinforcement.min_alpha inside the kernel: the floored alpha feeds
+    the TD target / actor entropy term / aux, while the temperature
+    gradient keeps the raw exp(log_alpha) (updates/sac.py:113-203)."""
+    learner, state, t = setup
+    learner.min_alpha = 0.05
+    # Drive log_alpha well below the floor so the clamp is active.
+    state = state.replace(log_alpha=jnp.full((1,), -6.0))
+    key = jax.random.key(43)
+    want_state, want_aux = learner.update(state, key, t)
+    got_state, got_aux = sac_update_pallas(
+        learner, state, key, t, interpret=True
+    )
+    assert abs(float(want_aux["alpha"]) - 0.05) < 1e-7  # floor engaged
+    _assert_state_close(got_state, want_state, rtol=2e-5, atol=2e-6)
+    for k in ("log_probs", "Q_values", "alpha"):
+        np.testing.assert_allclose(
+            np.asarray(got_aux[k]), np.asarray(want_aux[k]),
+            rtol=2e-5, atol=2e-6, err_msg=k,
+        )
+    learner.min_alpha = 0.0

@@ -68,22 +68,31 @@ def _kblock_kernel(hyper: SACHyper, gail_static, sizes, K, spectral_norm,
     (o_gt,) = take(1)
     (o_loss, o_rew, o_lp, o_minq, o_alpha) = take(5)
 
+    # Mosaic's loop-carry layout assignment rejects SIZE-1 arrays
+    # ("arr.size() >= layout_rank" check), so every (1,) scalar state
+    # rides the fori_loop carry as (1, 1) and is squeezed back to the
+    # cores' (1,) convention at the loop-body boundary.
+    up = lambda v: v[None]     # (1,)  -> (1, 1) for the carry
+    dn = lambda v: v[0]        # (1, 1) -> (1,)  for the cores
     sv0 = {k: tuple(r_[...] for r_ in sac_in[k]) for k in sac_keys}
     sv0.update(
-        la=la_ref[...], lam=lam_ref[...], lav=lav_ref[...],
-        ta=ta_ref[...], tc=tc_ref[...], tal=tal_ref[...],
+        la=up(la_ref[...]), lam=up(lam_ref[...]), lav=up(lav_ref[...]),
+        ta=up(ta_ref[...]), tc=up(tc_ref[...]), tal=up(tal_ref[...]),
     )
     gv0 = {
         "p": tuple(r_[...] for r_ in gp4),
         "sn": tuple(r_[...] for r_ in gsn),
         "m": tuple(r_[...] for r_ in gm4),
         "v": tuple(r_[...] for r_ in gv4),
-        "t": gt_ref[...],
+        "t": up(gt_ref[...]),
     }
     (S, A, B) = sizes
+    _SC = ("la", "lam", "lav", "ta", "tc", "tal")
 
     def body(k, carry):
-        sv, gvs, _aux = carry
+        sv, gvs = carry
+        sv = {**sv, **{n: dn(sv[n]) for n in _SC}}
+        gvs = {**gvs, "t": dn(gvs["t"])}
         # Per-micro-update rows load straight from the K-stacked VMEM
         # refs: dynamic indexing is only legal on the UNTILED leading dim
         # (Mosaic cannot dynamic-slice materialised values), so every
@@ -101,16 +110,21 @@ def _kblock_kernel(hyper: SACHyper, gail_static, sizes, K, spectral_norm,
             hyper, sizes, sv,
             (p_s, p_a, rewards, s2, term, p_w, ab, eps2, eps_new),
         )
-        return sv, gvs, (loss, rewards, lp, min_q, alpha_pre)
+        # Aux goes straight to the output refs, overwritten every
+        # micro-update so the LAST one's values remain — keeping the
+        # (B,)/(1,) aux vectors out of the loop carry entirely.
+        o_loss[...] = loss
+        o_rew[...] = rewards
+        o_lp[...] = lp
+        o_minq[...] = min_q
+        o_alpha[...] = alpha_pre
+        sv = {**sv, **{n: up(sv[n]) for n in _SC}}
+        gvs = {**gvs, "t": up(gvs["t"])}
+        return sv, gvs
 
-    aux0 = (
-        jnp.zeros((1,), jnp.float32),
-        jnp.zeros((B,), jnp.float32),
-        jnp.zeros((B,), jnp.float32),
-        jnp.zeros((B,), jnp.float32),
-        jnp.zeros((1,), jnp.float32),
-    )
-    sv, gvs, aux = jax.lax.fori_loop(0, K, body, (sv0, gv0, aux0))
+    sv, gvs = jax.lax.fori_loop(0, K, body, (sv0, gv0))
+    sv = {**sv, **{n: dn(sv[n]) for n in _SC}}
+    gvs = {**gvs, "t": dn(gvs["t"])}
 
     for k2 in sac_keys:
         for i in range(6):
@@ -129,7 +143,6 @@ def _kblock_kernel(hyper: SACHyper, gail_static, sizes, K, spectral_norm,
         for i in range(4):
             o_gsn[i][...] = gvs["sn"][i]
     o_gt[...] = gvs["t"]
-    (o_loss[...], o_rew[...], o_lp[...], o_minq[...], o_alpha[...]) = aux
 
 
 def gail_sac_update_kblock(

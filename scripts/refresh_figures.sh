@@ -17,4 +17,17 @@ python scripts/print_plot_seed_sweep_results.py --from-results RESULTS.jsonl \
 python scripts/print_plot_seed_sweep_results.py --from-results RESULTS.jsonl \
   --algorithms PWIL --envs hopper --tuned no --reps 20000 \
   --out figures/seed_sweep_pwil_hopper.png
+# 4-env GAIL aggregate (ceiling-lifted on ant/walker2d by the >1.0-scoring
+# generated demos) and the honest demos-at-parity 2-env companion.
+python scripts/print_plot_seed_sweep_results.py --from-results RESULTS.jsonl \
+  --algorithms GAIL --envs hopper walker2d halfcheetah ant --tuned yes \
+  --reps 20000 --out figures/seed_sweep_gail_4env.png || true
+python scripts/print_plot_seed_sweep_results.py --from-results RESULTS.jsonl \
+  --algorithms GAIL --envs hopper halfcheetah --tuned yes --reps 20000 \
+  --out figures/seed_sweep_gail_parity2env.png || true
+# Round-5 flagship: real multi-seed GAIL hopper v2 + min_alpha floor.
+python scripts/print_plot_seed_sweep_results.py --from-results RESULTS.jsonl \
+  --algorithms GAIL --envs hopper --tuned yes --dataset _v2 \
+  --extra reinforcement.min_alpha=0.05 --reps 20000 \
+  --out figures/seed_sweep_gail_hopper_minalpha.png || true
 echo "figures refreshed"

@@ -68,31 +68,43 @@ def _kblock_kernel(hyper: SACHyper, gail_static, sizes, K, spectral_norm,
     (o_gt,) = take(1)
     (o_loss, o_rew, o_lp, o_minq, o_alpha) = take(5)
 
-    # Mosaic's loop-carry layout assignment rejects SIZE-1 arrays
-    # ("arr.size() >= layout_rank" check), so every (1,) scalar state
-    # rides the fori_loop carry as (1, 1) and is squeezed back to the
-    # cores' (1,) convention at the loop-body boundary.
-    up = lambda v: v[None]     # (1,)  -> (1, 1) for the carry
-    dn = lambda v: v[0]        # (1, 1) -> (1,)  for the cores
-    sv0 = {k: tuple(r_[...] for r_ in sac_in[k]) for k in sac_keys}
-    sv0.update(
-        la=up(la_ref[...]), lam=up(lam_ref[...]), lav=up(lav_ref[...]),
-        ta=up(ta_ref[...]), tc=up(tc_ref[...]), tal=up(tal_ref[...]),
+    sv_raw = {k: tuple(r_[...] for r_ in sac_in[k]) for k in sac_keys}
+    sv_raw.update(
+        la=la_ref[...], lam=lam_ref[...], lav=lav_ref[...],
+        ta=ta_ref[...], tc=tc_ref[...], tal=tal_ref[...],
     )
-    gv0 = {
+    gv_raw = {
         "p": tuple(r_[...] for r_ in gp4),
         "sn": tuple(r_[...] for r_ in gsn),
         "m": tuple(r_[...] for r_ in gm4),
         "v": tuple(r_[...] for r_ in gv4),
-        "t": up(gt_ref[...]),
+        "t": gt_ref[...],
     }
     (S, A, B) = sizes
-    _SC = ("la", "lam", "lav", "ta", "tc", "tal")
+
+    # Mosaic's loop-carry layout assignment rejects RANK-1 arrays
+    # (layout.h "arr.size() >= layout_rank(implicit_dim)"), so every 1-D
+    # leaf (biases, spectral-norm vectors, (1,) temperature/count
+    # scalars) rides the fori_loop carry as (1, N) and is squeezed back
+    # to the cores' native shapes at the loop-body boundary. The masks
+    # are computed from the ORIGINAL trees so a genuine (1, N) rank-2
+    # leaf can never be mis-squeezed.
+    sv_mask = jax.tree.map(lambda v: v.ndim == 1, sv_raw)
+    gv_mask = jax.tree.map(lambda v: v.ndim == 1, gv_raw)
+
+    def up_t(tree, mask):
+        return jax.tree.map(lambda v, m: v[None] if m else v, tree, mask)
+
+    def dn_t(tree, mask):
+        return jax.tree.map(lambda v, m: v[0] if m else v, tree, mask)
+
+    sv0 = up_t(sv_raw, sv_mask)
+    gv0 = up_t(gv_raw, gv_mask)
 
     def body(k, carry):
         sv, gvs = carry
-        sv = {**sv, **{n: dn(sv[n]) for n in _SC}}
-        gvs = {**gvs, "t": dn(gvs["t"])}
+        sv = dn_t(sv, sv_mask)
+        gvs = dn_t(gvs, gv_mask)
         # Per-micro-update rows load straight from the K-stacked VMEM
         # refs: dynamic indexing is only legal on the UNTILED leading dim
         # (Mosaic cannot dynamic-slice materialised values), so every
@@ -118,13 +130,11 @@ def _kblock_kernel(hyper: SACHyper, gail_static, sizes, K, spectral_norm,
         o_lp[...] = lp
         o_minq[...] = min_q
         o_alpha[...] = alpha_pre
-        sv = {**sv, **{n: up(sv[n]) for n in _SC}}
-        gvs = {**gvs, "t": up(gvs["t"])}
-        return sv, gvs
+        return up_t(sv, sv_mask), up_t(gvs, gv_mask)
 
     sv, gvs = jax.lax.fori_loop(0, K, body, (sv0, gv0))
-    sv = {**sv, **{n: dn(sv[n]) for n in _SC}}
-    gvs = {**gvs, "t": dn(gvs["t"])}
+    sv = dn_t(sv, sv_mask)
+    gvs = dn_t(gvs, gv_mask)
 
     for k2 in sac_keys:
         for i in range(6):

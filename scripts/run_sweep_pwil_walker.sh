@@ -5,7 +5,7 @@
 # end vs untuned 1.052 — RESULTS.md); this runs the reference's own
 # per-(algorithm, trajectories) tuning WORKFLOW
 # (/root/reference/conf/train_all_config.yaml:12-19) end-to-end on OUR
-# data: 10 trials (4 Sobol + GP-EI; round-5 wall-clock budget) over the in-repo PWIL search space
+# data: 6 trials (3 Sobol + GP-EI; round-5 wall-clock budget) over the in-repo PWIL search space
 # (iltpu/config/conf/search_space.yaml), 300k-step objective, walker2d
 # only. A default-config baseline "trial" runs first under the IDENTICAL
 # harness so "candidate vs default" is a same-protocol read. The winner is
@@ -20,7 +20,7 @@ fi
 echo "=== baseline (default config, same harness) $(date +%H:%M:%S)" >> "$LOG"
 timeout 2400 python train_all.py $ARGS seed=12345 --serial --envs walker2d >> "$LOG" 2>&1
 echo "--- rc=$? baseline" >> "$LOG"
-echo "=== sweep 10 trials $(date +%H:%M:%S)" >> "$LOG"
-timeout "${SWEEP_TIMEOUT:-4500}" python train_all.py $ARGS --sweep 10 --early-stop 10 --sobol 4 --serial --envs walker2d >> "$LOG" 2>&1
+echo "=== sweep 6 trials $(date +%H:%M:%S)" >> "$LOG"
+timeout "${SWEEP_TIMEOUT:-3600}" python train_all.py $ARGS --sweep 6 --early-stop 6 --sobol 3 --serial --envs walker2d >> "$LOG" 2>&1
 echo "--- rc=$? sweep $(date +%H:%M:%S)" >> "$LOG"
 cp outputs/all_PWIL/sweep.jsonl logs/sweep_pwil_walker_r5.jsonl 2>/dev/null || true

@@ -116,6 +116,70 @@ def _log_prob(ls, eps, z):
     return jnp.sum(n - t, axis=-1)
 
 
+def _twin_cat(stacked):
+    """(2, ...)-stacked twin-critic leaves -> ONE block-diagonal 3-layer
+    MLP: W1 (in, 2H) side-by-side, W2 (2H, 2H) and W3 (2H, 2) block-
+    diagonal with exact zeros. The update is op-LATENCY-bound (tiny
+    matmuls, docs/PERF.md), so evaluating both twins as one matmul chain
+    halves the dependent-op depth; the zero blocks add only exact-zero
+    products (x + 0 == x in every float format), so per-twin results
+    match the two-chain formulation to accumulation-order rounding."""
+    W1 = jnp.concatenate([stacked[0][0], stacked[0][1]], axis=1)
+    b1 = jnp.concatenate([stacked[1][0], stacked[1][1]])
+    z2 = jnp.zeros_like(stacked[2][0])
+    W2 = jnp.concatenate(
+        [
+            jnp.concatenate([stacked[2][0], z2], axis=1),
+            jnp.concatenate([z2, stacked[2][1]], axis=1),
+        ],
+        axis=0,
+    )
+    b2 = jnp.concatenate([stacked[3][0], stacked[3][1]])
+    z3 = jnp.zeros_like(stacked[4][0])
+    W3 = jnp.concatenate(
+        [
+            jnp.concatenate([stacked[4][0], z3], axis=1),
+            jnp.concatenate([z3, stacked[4][1]], axis=1),
+        ],
+        axis=0,
+    )
+    b3 = jnp.concatenate([stacked[5][0], stacked[5][1]])
+    return [W1, W2, W3], [b1, b2, b3]
+
+
+def _twin_bwd_grads(dq2, cache, Ws):
+    """Backward of the block-diagonal twin net; returns the six
+    (2, ...)-stacked per-twin grads. The cross-twin blocks of the cat
+    grads are discarded by slicing — the per-twin blocks equal the
+    two-chain grads exactly (same rows, same contraction over B)."""
+    (dW1, db1, dW2, db2, dW3, db3), _ = _mlp_bwd(dq2, cache, Ws)
+    H = db1.shape[0] // 2
+    return [
+        jnp.stack([dW1[:, :H], dW1[:, H:]]),
+        jnp.stack([db1[:H], db1[H:]]),
+        jnp.stack([dW2[:H, :H], dW2[H:, H:]]),
+        jnp.stack([db2[:H], db2[H:]]),
+        jnp.stack([dW3[:H, 0:1], dW3[H:, 1:2]]),
+        jnp.stack([db3[0:1], db3[1:2]]),
+    ]
+
+
+def _twin_bwd_input(dq2, cache, Ws):
+    """Input-gradient-only backward of the block-diagonal twin net: the
+    3-matmul dh chain, no parameter grads. The 2H contraction of the
+    final dx sums both twins' input-gradients — exactly the
+    `da = da + dx_k` accumulation of the two-chain formulation."""
+    x, z1, h1, z2, h2 = cache
+    dh2 = jnp.dot(dq2, Ws[2].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+    dz2 = dh2 * (z2 > 0.0)
+    dh1 = jnp.dot(dz2, Ws[1].T, preferred_element_type=jnp.float32,
+                  precision=jax.lax.Precision.DEFAULT)
+    dz1 = dh1 * (z1 > 0.0)
+    return jnp.dot(dz1, Ws[0].T, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.DEFAULT)
+
+
 # --------------------------------------------------------------------------
 # The kernel
 
@@ -145,70 +209,60 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
     actor_W = [aw[0], aw[2], aw[4]]
     actor_b = [aw[1], aw[3], aw[5]]
 
-    def critic_fwd(stacked, x):
-        """Twin critic forward; returns ((q1, cache1), (q2, cache2))."""
-        outs = []
-        for k in (0, 1):
-            Ws = [stacked[0][k], stacked[2][k], stacked[4][k]]
-            bs = [stacked[1][k], stacked[3][k], stacked[5][k]]
-            o, cache = _mlp_fwd(x, Ws, bs)
-            outs.append((o[:, 0], cache, Ws))
-        return outs
+    # ---- ONE batched actor forward over concat([s', s]) ----------------
+    # (mirrors the XLA path's shared forward, updates/sac.py:121-133):
+    # the TD target reads the s'-half, the actor loss backprops through
+    # the s-half's sliced cache — zero cotangents for s' by construction.
+    s_all = jnp.concatenate([s2, s], axis=0)
+    o_all, cache_all = _mlp_fwd(s_all, actor_W, actor_b)
+    o2 = o_all[:B]
+    o1 = o_all[B:]
+    cache1 = tuple(c[B:] for c in cache_all)
 
     # ---- TD target (training.py:19-25): no gradients anywhere ----------
-    o2, _ = _mlp_fwd(s2, actor_W, actor_b)
     _, _, ls2, _, z2 = _tanh_gaussian(o2, eps2, A)
     lp2 = _log_prob(ls2, eps2, z2)
     na = (1.0 - ab[:, None]) * jnp.tanh(z2)
     x2 = jnp.concatenate([s2, na], axis=-1)
-    tgt_out = critic_fwd(tw, x2)
-    tq = jnp.minimum(tgt_out[0][0], tgt_out[1][0])
+    TWs, Tbs = _twin_cat(tw)
+    tout, _ = _mlp_fwd(x2, TWs, Tbs)
+    tq = jnp.minimum(tout[:, 0], tout[:, 1])
     target_v = tq - (1.0 - ab) * alpha * lp2
     td_target = r + (1.0 - term) * discount * target_v
 
-    # ---- Critic step (training.py:26-31) -------------------------------
+    # ---- Critic step (training.py:26-31), both twins as ONE chain ------
     x = jnp.concatenate([s, a], axis=-1)
-    cur = critic_fwd(cw, x)
-    q1, q2 = cur[0][0], cur[1][0]
+    CWs, Cbs = _twin_cat(cw)
+    cout, ccache = _mlp_fwd(x, CWs, Cbs)
+    q1, q2 = cout[:, 0], cout[:, 1]
     min_q = jnp.minimum(q1, q2)
     t_c_v = sv["tc"] + 1.0
     t_c = t_c_v[0]
-    # Per-twin AdamW on the (2, ...) stacked leaves: static twin index k
-    # avoids materialising 3D stacks inside the kernel.
-    new_cw = [[None, None] for _ in range(6)]
-    new_cm = [[None, None] for _ in range(6)]
-    new_cv = [[None, None] for _ in range(6)]
-    for k, (q, cache, Ws) in enumerate(cur):
-        dq = (2.0 / B) * wgt * (q - td_target)
-        g, _ = _mlp_bwd(dq[:, None], cache, Ws)
-        for i in range(6):
-            p, m, v = _adam_step(
-                cw[i][k], g[i], cm[i][k], cv[i][k], t_c, lr, wd
-            )
-            new_cw[i][k] = p
-            new_cm[i][k] = m
-            new_cv[i][k] = v
+    dq2 = (2.0 / B) * wgt[:, None] * (cout - td_target[:, None])
+    cg = _twin_bwd_grads(dq2, ccache, CWs)
+    # AdamW elementwise on the (2, ...)-stacked leaves: one step per leaf
+    # covers both twins.
+    new_c, new_cm, new_cv = [], [], []
+    for i in range(6):
+        p, m, v = _adam_step(cw[i], cg[i], cm[i], cv[i], t_c, lr, wd)
+        new_c.append(p)
+        new_cm.append(m)
+        new_cv.append(v)
 
     # ---- Actor + temperature (training.py:33-49), vs the UPDATED critic -
-    o1, actor_cache = _mlp_fwd(s, actor_W, actor_b)
     _, l_raw1, ls1, sg1, z1 = _tanh_gaussian(o1, eps_new, A)
     lp1 = _log_prob(ls1, eps_new, z1)
     a_new = jnp.tanh(z1)
     xn = jnp.concatenate([s, a_new], axis=-1)
-    upd = []
-    for k in (0, 1):
-        Ws = [new_cw[0][k], new_cw[2][k], new_cw[4][k]]
-        bs = [new_cw[1][k], new_cw[3][k], new_cw[5][k]]
-        o, cache = _mlp_fwd(xn, Ws, bs)
-        upd.append((o[:, 0], cache, Ws))
-    qn1, qn2 = upd[0][0], upd[1][0]
-    # d(-mean(min(q1,q2)))/dq_k -> backprop to the action input only.
+    UWs, Ubs = _twin_cat(new_c)
+    uout, ucache = _mlp_fwd(xn, UWs, Ubs)
+    qn1, qn2 = uout[:, 0], uout[:, 1]
+    # d(-mean(min(q1,q2)))/dq_k -> backprop to the action input only; the
+    # cat net's input-gradient sums both twins' selector-masked chains.
     sel1 = (qn1 <= qn2).astype(jnp.float32)
-    da = jnp.zeros_like(a_new)
-    for k, sel in ((0, sel1), (1, 1.0 - sel1)):
-        dq = (-1.0 / B) * sel
-        _, dx = _mlp_bwd(dq[:, None], upd[k][1], upd[k][2])
-        da = da + dx[:, S:]
+    dq2n = (-1.0 / B) * jnp.stack([sel1, 1.0 - sel1], axis=1)
+    dx = _twin_bwd_input(dq2n, ucache, UWs)
+    da = dx[:, S:]
     tanh_z = jnp.tanh(z1)
     sech2 = 1.0 - tanh_z * tanh_z
     c_ent = (wgt * (1.0 - ab) * alpha / B)[:, None]
@@ -216,7 +270,7 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
     g_ls = c_ent * (-1.0 + 2.0 * sg1 * eps_new * tanh_z) + da * sech2 * sg1 * eps_new
     g_ls = g_ls * ((l_raw1 >= -20.0) & (l_raw1 <= 2.0)).astype(jnp.float32)
     do = jnp.concatenate([g_mu, g_ls], axis=-1)
-    ag, _ = _mlp_bwd(do, actor_cache, actor_W)
+    ag, _ = _mlp_bwd(do, cache1, actor_W)
     t_a_v = sv["ta"] + 1.0
     t_a = t_a_v[0]
     new_aw, new_am, new_av = [], [], []
@@ -239,24 +293,15 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
         log_alpha_v, g_la, sv["lam"], sv["lav"], t_al_v[0], alpha_lr, 0.0
     )
 
-    def stack2(pair):
-        return jnp.stack([pair[0], pair[1]])
-
     new_sv = {
         "a": tuple(new_aw),
         "am": tuple(new_am),
         "av": tuple(new_av),
-        "c": tuple(stack2(new_cw[i]) for i in range(6)),
-        "cm": tuple(stack2(new_cm[i]) for i in range(6)),
-        "cv": tuple(stack2(new_cv[i]) for i in range(6)),
+        "c": tuple(new_c),
+        "cm": tuple(new_cm),
+        "cv": tuple(new_cv),
         "t": tuple(
-            jnp.stack(
-                [
-                    rho * tw[i][k] + (1.0 - rho) * new_cw[i][k]
-                    for k in (0, 1)
-                ]
-            )
-            for i in range(6)
+            rho * tw[i] + (1.0 - rho) * new_c[i] for i in range(6)
         ),
         "la": la_new,
         "lam": lam_new,

@@ -116,52 +116,68 @@ def _log_prob(ls, eps, z):
     return jnp.sum(n - t, axis=-1)
 
 
-def _twin_cat(stacked):
-    """(2, ...)-stacked twin-critic leaves -> ONE block-diagonal 3-layer
-    MLP: W1 (in, 2H) side-by-side, W2 (2H, 2H) and W3 (2H, 2) block-
-    diagonal with exact zeros. The update is op-LATENCY-bound (tiny
-    matmuls, docs/PERF.md), so evaluating both twins as one matmul chain
-    halves the dependent-op depth; the zero blocks add only exact-zero
-    products (x + 0 == x in every float format), so per-twin results
-    match the two-chain formulation to accumulation-order rounding."""
-    W1 = jnp.concatenate([stacked[0][0], stacked[0][1]], axis=1)
-    b1 = jnp.concatenate([stacked[1][0], stacked[1][1]])
-    z2 = jnp.zeros_like(stacked[2][0])
+def twin_stacked_to_cat(st6):
+    """(2, ...)-stacked twin-critic leaves -> the kernel's CAT layout:
+    ONE block-diagonal 3-layer MLP — W1 (in, 2H) side-by-side, W2
+    (2H, 2H) and W3 (2H, 2) block-diagonal with exact zeros. The update
+    is op-LATENCY-bound (tiny matmuls, docs/PERF.md), so evaluating both
+    twins as one matmul chain halves the dependent-op depth; the zero
+    blocks add only exact-zero products (x + 0 == x in every float
+    format), so per-twin results match the two-chain formulation to
+    accumulation-order rounding. Runs OUTSIDE the kernel (plain XLA,
+    once per update scan): Mosaic cannot lane-slice beyond the first
+    128-tile, so the kernel keeps the cat layout end-to-end and the
+    stacked<->cat conversions live here."""
+    W1 = jnp.concatenate([st6[0][0], st6[0][1]], axis=1)
+    b1 = jnp.concatenate([st6[1][0], st6[1][1]])
+    z2 = jnp.zeros_like(st6[2][0])
     W2 = jnp.concatenate(
         [
-            jnp.concatenate([stacked[2][0], z2], axis=1),
-            jnp.concatenate([z2, stacked[2][1]], axis=1),
+            jnp.concatenate([st6[2][0], z2], axis=1),
+            jnp.concatenate([z2, st6[2][1]], axis=1),
         ],
         axis=0,
     )
-    b2 = jnp.concatenate([stacked[3][0], stacked[3][1]])
-    z3 = jnp.zeros_like(stacked[4][0])
+    b2 = jnp.concatenate([st6[3][0], st6[3][1]])
+    z3 = jnp.zeros_like(st6[4][0])
     W3 = jnp.concatenate(
         [
-            jnp.concatenate([stacked[4][0], z3], axis=1),
-            jnp.concatenate([z3, stacked[4][1]], axis=1),
+            jnp.concatenate([st6[4][0], z3], axis=1),
+            jnp.concatenate([z3, st6[4][1]], axis=1),
         ],
         axis=0,
     )
-    b3 = jnp.concatenate([stacked[5][0], stacked[5][1]])
-    return [W1, W2, W3], [b1, b2, b3]
+    b3 = jnp.concatenate([st6[5][0], st6[5][1]])
+    return (W1, b1, W2, b2, W3, b3)
 
 
-def _twin_bwd_grads(dq2, cache, Ws):
-    """Backward of the block-diagonal twin net; returns the six
-    (2, ...)-stacked per-twin grads. The cross-twin blocks of the cat
-    grads are discarded by slicing — the per-twin blocks equal the
-    two-chain grads exactly (same rows, same contraction over B)."""
-    (dW1, db1, dW2, db2, dW3, db3), _ = _mlp_bwd(dq2, cache, Ws)
-    H = db1.shape[0] // 2
-    return [
-        jnp.stack([dW1[:, :H], dW1[:, H:]]),
-        jnp.stack([db1[:H], db1[H:]]),
-        jnp.stack([dW2[:H, :H], dW2[H:, H:]]),
-        jnp.stack([db2[:H], db2[H:]]),
-        jnp.stack([dW3[:H, 0:1], dW3[H:, 1:2]]),
-        jnp.stack([db3[0:1], db3[1:2]]),
-    ]
+def twin_cat_to_stacked(c6):
+    """Inverse of twin_stacked_to_cat (plain XLA, outside the kernel)."""
+    H = c6[1].shape[0] // 2
+    return (
+        jnp.stack([c6[0][:, :H], c6[0][:, H:]]),
+        jnp.stack([c6[1][:H], c6[1][H:]]),
+        jnp.stack([c6[2][:H, :H], c6[2][H:, H:]]),
+        jnp.stack([c6[3][:H], c6[3][H:]]),
+        jnp.stack([c6[4][:H, 0:1], c6[4][H:, 1:2]]),
+        jnp.stack([c6[5][0:1], c6[5][1:2]]),
+    )
+
+
+def _twin_block_masks(Hc):
+    """In-kernel {0,1} masks for the W2 (2H, 2H) / W3 (2H, 2) grads: the
+    cat backward's cross-twin blocks are NOT real parameters and must
+    stay exactly zero through AdamW (masked grad -> m = v = 0 -> p stays
+    0 with decoupled wd*0). Built from 2D broadcasted_iota — no slicing,
+    which Mosaic cannot lower past the first lane tile."""
+    H = Hc // 2
+    ri = jax.lax.broadcasted_iota(jnp.int32, (Hc, Hc), 0)
+    ci = jax.lax.broadcasted_iota(jnp.int32, (Hc, Hc), 1)
+    mask2 = ((ri // H) == (ci // H)).astype(jnp.float32)
+    r3 = jax.lax.broadcasted_iota(jnp.int32, (Hc, 2), 0)
+    c3 = jax.lax.broadcasted_iota(jnp.int32, (Hc, 2), 1)
+    mask3 = ((r3 // H) == c3).astype(jnp.float32)
+    return mask2, mask3
 
 
 def _twin_bwd_input(dq2, cache, Ws):
@@ -186,8 +202,9 @@ def _twin_bwd_input(dq2, cache, Ws):
 
 def _sac_core(hyper: SACHyper, sizes, sv, batch):
     """The whole SAC update on plain VALUES (no refs): state dict `sv`
-    (keys as in sac_state_to_leaves; critic leaves (2, ...) stacked) +
-    batch tuple -> (new state dict, (log_probs, min_q, alpha_pre)).
+    (keys as in sac_state_to_leaves; critic leaves in the block-diagonal
+    CAT layout, twin_stacked_to_cat) + batch tuple -> (new state dict,
+    (log_probs, min_q, alpha_pre)).
     Shared by the single-update kernel and the K-blocked kernel
     (pallas_fused_block.py), where it runs inside a fori_loop with the
     state resident in VMEM."""
@@ -209,39 +226,35 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
     actor_W = [aw[0], aw[2], aw[4]]
     actor_b = [aw[1], aw[3], aw[5]]
 
-    # ---- ONE batched actor forward over concat([s', s]) ----------------
-    # (mirrors the XLA path's shared forward, updates/sac.py:121-133):
-    # the TD target reads the s'-half, the actor loss backprops through
-    # the s-half's sliced cache — zero cotangents for s' by construction.
-    s_all = jnp.concatenate([s2, s], axis=0)
-    o_all, cache_all = _mlp_fwd(s_all, actor_W, actor_b)
-    o2 = o_all[:B]
-    o1 = o_all[B:]
-    cache1 = tuple(c[B:] for c in cache_all)
+    # Critic leaves arrive in the CAT layout (twin_stacked_to_cat): both
+    # twins as one block-diagonal chain, conversions done OUTSIDE the
+    # kernel. Masks keep the non-parameter cross-twin blocks exactly 0.
+    mask2, mask3 = _twin_block_masks(cw[1].shape[0])
 
     # ---- TD target (training.py:19-25): no gradients anywhere ----------
+    o2, _ = _mlp_fwd(s2, actor_W, actor_b)
     _, _, ls2, _, z2 = _tanh_gaussian(o2, eps2, A)
     lp2 = _log_prob(ls2, eps2, z2)
     na = (1.0 - ab[:, None]) * jnp.tanh(z2)
     x2 = jnp.concatenate([s2, na], axis=-1)
-    TWs, Tbs = _twin_cat(tw)
-    tout, _ = _mlp_fwd(x2, TWs, Tbs)
+    tout, _ = _mlp_fwd(x2, [tw[0], tw[2], tw[4]], [tw[1], tw[3], tw[5]])
     tq = jnp.minimum(tout[:, 0], tout[:, 1])
     target_v = tq - (1.0 - ab) * alpha * lp2
     td_target = r + (1.0 - term) * discount * target_v
 
     # ---- Critic step (training.py:26-31), both twins as ONE chain ------
     x = jnp.concatenate([s, a], axis=-1)
-    CWs, Cbs = _twin_cat(cw)
-    cout, ccache = _mlp_fwd(x, CWs, Cbs)
+    CWs = [cw[0], cw[2], cw[4]]
+    cout, ccache = _mlp_fwd(x, CWs, [cw[1], cw[3], cw[5]])
     q1, q2 = cout[:, 0], cout[:, 1]
     min_q = jnp.minimum(q1, q2)
     t_c_v = sv["tc"] + 1.0
     t_c = t_c_v[0]
     dq2 = (2.0 / B) * wgt[:, None] * (cout - td_target[:, None])
-    cg = _twin_bwd_grads(dq2, ccache, CWs)
-    # AdamW elementwise on the (2, ...)-stacked leaves: one step per leaf
-    # covers both twins.
+    (dW1, db1, dW2, db2, dW3, db3), _ = _mlp_bwd(dq2, ccache, CWs)
+    # W1/bias cat-grads have no cross-twin terms (side-by-side columns /
+    # per-unit sums); only the block-diagonal W2/W3 grads need masking.
+    cg = (dW1, db1, dW2 * mask2, db2, dW3 * mask3, db3)
     new_c, new_cm, new_cv = [], [], []
     for i in range(6):
         p, m, v = _adam_step(cw[i], cg[i], cm[i], cv[i], t_c, lr, wd)
@@ -250,12 +263,13 @@ def _sac_core(hyper: SACHyper, sizes, sv, batch):
         new_cv.append(v)
 
     # ---- Actor + temperature (training.py:33-49), vs the UPDATED critic -
+    o1, cache1 = _mlp_fwd(s, actor_W, actor_b)
     _, l_raw1, ls1, sg1, z1 = _tanh_gaussian(o1, eps_new, A)
     lp1 = _log_prob(ls1, eps_new, z1)
     a_new = jnp.tanh(z1)
     xn = jnp.concatenate([s, a_new], axis=-1)
-    UWs, Ubs = _twin_cat(new_c)
-    uout, ucache = _mlp_fwd(xn, UWs, Ubs)
+    UWs = [new_c[0], new_c[2], new_c[4]]
+    uout, ucache = _mlp_fwd(xn, UWs, [new_c[1], new_c[3], new_c[5]])
     qn1, qn2 = uout[:, 0], uout[:, 1]
     # d(-mean(min(q1,q2)))/dq_k -> backprop to the action input only; the
     # cat net's input-gradient sums both twins' selector-masked chains.
@@ -449,10 +463,13 @@ def sac_state_to_leaves(state) -> Dict:
         "a": _leaves6(state.actor_params),
         "am": _leaves6(unravel_a(ast.mu)),
         "av": _leaves6(unravel_a(ast.nu)),
-        "c": _leaves6(state.critic_params),
-        "cm": _leaves6(unravel_c(cst.mu)),
-        "cv": _leaves6(unravel_c(cst.nu)),
-        "t": _leaves6(state.target_critic_params),
+        # Critic leaves travel in the block-diagonal CAT layout (one
+        # matmul chain for both twins inside the kernel; conversions out
+        # here in plain XLA where slicing is unrestricted).
+        "c": twin_stacked_to_cat(_leaves6(state.critic_params)),
+        "cm": twin_stacked_to_cat(_leaves6(unravel_c(cst.mu))),
+        "cv": twin_stacked_to_cat(_leaves6(unravel_c(cst.nu))),
+        "t": twin_stacked_to_cat(_leaves6(state.target_critic_params)),
         "la": state.log_alpha,
         "lam": jnp.reshape(alst.mu, (1,)),
         "lav": jnp.reshape(alst.nu, (1,)),
@@ -475,8 +492,8 @@ def sac_leaves_to_state(state, lv: Dict, n_updates: int):
     alst = _adam_state(state.alpha_opt)
     return state.replace(
         actor_params=_tree6(lv["a"]),
-        critic_params=_tree6(lv["c"]),
-        target_critic_params=_tree6(lv["t"]),
+        critic_params=_tree6(twin_cat_to_stacked(lv["c"])),
+        target_critic_params=_tree6(twin_cat_to_stacked(lv["t"])),
         log_alpha=lv["la"],
         actor_opt=_rebuild_opt_state(
             state.actor_opt, ast.count + n_updates,
@@ -484,7 +501,8 @@ def sac_leaves_to_state(state, lv: Dict, n_updates: int):
         ),
         critic_opt=_rebuild_opt_state(
             state.critic_opt, cst.count + n_updates,
-            ravel_pytree(_tree6(lv["cm"]))[0], ravel_pytree(_tree6(lv["cv"]))[0],
+            ravel_pytree(_tree6(twin_cat_to_stacked(lv["cm"])))[0],
+            ravel_pytree(_tree6(twin_cat_to_stacked(lv["cv"])))[0],
         ),
         alpha_opt=_rebuild_opt_state(
             state.alpha_opt, alst.count + n_updates, lv["lam"], lv["lav"]
@@ -573,8 +591,6 @@ def sac_update_pallas(
 ):
     """Drop-in replacement for `SACLearner.update` running the whole update
     as one Pallas kernel. Same (state, aux) contract."""
-    from jax.flatten_util import ravel_pytree
-
     actor_net = learner.actor.net
     critic_net = learner.critic.critic.net
     assert actor_net.depth == 2 and critic_net.depth == 2
@@ -590,102 +606,10 @@ def sac_update_pallas(
     eps2 = jax.random.normal(k_next, (B, A), jnp.float32)
     eps_new = jax.random.normal(k_new, (B, A), jnp.float32)
 
-    # optax.flatten keeps one flat (P,) mu/nu per optimiser; unflatten to
-    # the leaf layout the kernel uses (ravel_pytree order — the same
-    # function optax.flatten uses).
-    _, unravel_a = ravel_pytree(state.actor_params)
-    _, unravel_c = ravel_pytree(state.critic_params)
-    ast = _adam_state(state.actor_opt)
-    cst = _adam_state(state.critic_opt)
-    alst = _adam_state(state.alpha_opt)
-
-    a6 = _leaves6(state.actor_params)
-    am6 = _leaves6(unravel_a(ast.mu))
-    av6 = _leaves6(unravel_a(ast.nu))
-    c6 = _leaves6(state.critic_params)
-    cm6 = _leaves6(unravel_c(cst.mu))
-    cv6 = _leaves6(unravel_c(cst.nu))
-    t6 = _leaves6(state.target_critic_params)
-    f32 = lambda x: jnp.asarray(x, jnp.float32)
-    counts = (
-        f32(ast.count).reshape(1),
-        f32(cst.count).reshape(1),
-        f32(alst.count).reshape(1),
+    # One round trip through the shared leaf layout (cat-form critics,
+    # unravelled moments) — the same path the fused update scan carries.
+    lv = sac_state_to_leaves(state)
+    new_lv, aux = sac_update_pallas_leaves(
+        learner, lv, transitions, eps2, eps_new, interpret=interpret
     )
-    batch = (
-        transitions["states"],
-        transitions["actions"],
-        transitions["rewards"],
-        transitions["next_states"],
-        transitions["terminals"],
-        transitions["weights"],
-        transitions["absorbing"],
-    )
-
-    operands = (
-        *a6, *am6, *av6, *c6, *cm6, *cv6, *t6,
-        state.log_alpha, jnp.reshape(alst.mu, (1,)), jnp.reshape(alst.nu, (1,)),
-        *counts, *batch, eps2, eps_new,
-    )
-
-    n_state = 6 * 7 + 3 + 3  # aliased outputs: params/moments/targets/alpha/counts
-    out_shapes = [jax.ShapeDtypeStruct(o.shape, jnp.float32) for o in operands[:n_state]]
-    out_shapes += [
-        jax.ShapeDtypeStruct((B,), jnp.float32),  # log_probs
-        jax.ShapeDtypeStruct((B,), jnp.float32),  # min Q (critic-loss batch)
-        jax.ShapeDtypeStruct((1,), jnp.float32),  # alpha (pre-update)
-    ]
-
-    hyper = SACHyper(
-        lr=learner.lr,
-        weight_decay=learner.weight_decay,
-        alpha_lr=learner.alpha_lr,
-        discount=learner.discount,
-        entropy_target=learner.entropy_target,
-        polyak=learner.polyak_factor,
-        min_alpha=learner.min_alpha,
-    )
-    kernel = partial(_sac_kernel, hyper, (S, A, B))
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=out_shapes,
-        input_output_aliases={i: i for i in range(n_state)},
-        interpret=interpret,
-    )(*operands)
-
-    new_a6, new_am6, new_av6 = outs[0:6], outs[6:12], outs[12:18]
-    new_c6, new_cm6, new_cv6 = outs[18:24], outs[24:30], outs[30:36]
-    new_t6 = outs[36:42]
-    new_la, new_lam, new_lav = outs[42], outs[43], outs[44]
-    new_ta, new_tc, new_tal = outs[45], outs[46], outs[47]
-    lp, min_q, alpha = outs[48], outs[49], outs[50]
-
-    # Counts increment in int32 HERE (the authority), not via the kernel's
-    # f32 round-trip — f32 would freeze at 2^24 updates. The kernel's f32 t
-    # is only the Adam bias-correction exponent (saturated ~1 long before
-    # that bound). The kernel count outputs (new_ta/new_tc/new_tal) exist
-    # for buffer aliasing and are intentionally unused.
-    del new_ta, new_tc, new_tal
-    new_state = state.replace(
-        actor_params=_tree6(new_a6),
-        critic_params=_tree6(new_c6),
-        target_critic_params=_tree6(new_t6),
-        log_alpha=new_la,
-        actor_opt=_rebuild_opt_state(
-            state.actor_opt, ast.count + 1,
-            ravel_pytree(_tree6(new_am6))[0], ravel_pytree(_tree6(new_av6))[0],
-        ),
-        critic_opt=_rebuild_opt_state(
-            state.critic_opt, cst.count + 1,
-            ravel_pytree(_tree6(new_cm6))[0], ravel_pytree(_tree6(new_cv6))[0],
-        ),
-        alpha_opt=_rebuild_opt_state(
-            state.alpha_opt, alst.count + 1, new_lam, new_lav
-        ),
-    )
-    aux = {
-        "log_probs": lp,
-        "Q_values": min_q,
-        "alpha": alpha[0],
-    }
-    return new_state, aux
+    return sac_leaves_to_state(state, new_lv, 1), aux

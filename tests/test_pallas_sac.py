@@ -98,3 +98,44 @@ def test_pallas_update_min_alpha_floor(setup):
             rtol=2e-5, atol=2e-6, err_msg=k,
         )
     learner.min_alpha = 0.0
+
+
+def test_twin_cat_roundtrip_and_zero_blocks():
+    """stacked <-> cat conversion is lossless, the cat off-diagonal
+    blocks are exactly zero, and a masked AdamW step keeps them zero
+    (they are not real parameters)."""
+    from iltpu.ops.pallas_sac import (
+        _adam_step,
+        _twin_block_masks,
+        twin_cat_to_stacked,
+        twin_stacked_to_cat,
+    )
+
+    ks = jax.random.split(jax.random.key(5), 6)
+    H, S_in = 8, 5
+    st6 = (
+        jax.random.normal(ks[0], (2, S_in, H)),
+        jax.random.normal(ks[1], (2, H)),
+        jax.random.normal(ks[2], (2, H, H)),
+        jax.random.normal(ks[3], (2, H)),
+        jax.random.normal(ks[4], (2, H, 1)),
+        jax.random.normal(ks[5], (2, 1)),
+    )
+    c6 = twin_stacked_to_cat(st6)
+    back = twin_cat_to_stacked(c6)
+    for a, b in zip(st6, back):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # off-diagonal blocks exactly zero
+    W2, W3 = np.asarray(c6[2]), np.asarray(c6[4])
+    assert (W2[:H, H:] == 0).all() and (W2[H:, :H] == 0).all()
+    assert (W3[:H, 1] == 0).all() and (W3[H:, 0] == 0).all()
+    # one masked AdamW step from zero moments leaves the zeros exact
+    mask2, mask3 = _twin_block_masks(2 * H)
+    g2 = jax.random.normal(ks[0], (2 * H, 2 * H)) * mask2
+    p, m, v = _adam_step(
+        c6[2], g2, jnp.zeros_like(c6[2]), jnp.zeros_like(c6[2]),
+        1.0, 3e-4, 1e-2,
+    )
+    for arr in (p, m, v):
+        arr = np.asarray(arr)
+        assert (arr[:H, H:] == 0).all() and (arr[H:, :H] == 0).all()

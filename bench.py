@@ -156,6 +156,18 @@ def main():
                 "windows": len(rates),
                 "window_min": round(min(rates), 2) if rates else None,
                 "window_max": round(max(rates), 2) if rates else None,
+                # The shared tunneled v5e occasionally enters a sustained
+                # ~10x hard-throttle mode (measured 1,058 +-0.2% for a
+                # whole 14-min invocation between two normal-speed runs,
+                # docs/PERF.md "chip-weather" section). A tight window
+                # band at a small fraction of the healthy 9-11k band is
+                # that mode, not a code regression — flag it so the
+                # artifact self-identifies.
+                "throttle_suspected": bool(
+                    rates
+                    and max(rates) < 4000
+                    and (max(rates) - min(rates)) < 0.05 * value
+                ),
             }
         )
     )
